@@ -1,0 +1,95 @@
+"""
+Shared acquisition-engine machinery.
+
+Reference surface: ``GenericGPAcquisition`` (gpry/gp_acquisition.py:38-118):
+engines are constructed with the prior bounds and an acquisition function
+spec (instance, class name, or single-key dict), and expose
+``multi_add(gpr, n_points, bounds, rng)``.
+"""
+
+import numpy as np
+
+import gpry_tpu.acquisition.functions as af_module
+from gpry_tpu.acquisition.functions import AcquisitionFunction, LogExp
+from gpry_tpu.models.gp import SurrogateParams, surrogate_predict
+from gpry_tpu.ops.linalg import chol_append
+from gpry_tpu.utils.tools import check_and_return_bounds, get_Xnumber
+
+import jax.numpy as jnp
+
+
+def construct_acq_func(spec, d, zeta_scaling=0.85):
+    """
+    Build an acquisition function from an instance / name / {name: kwargs}
+    (reference: gpry/gp_acquisition.py:51-78).
+    """
+    if isinstance(spec, AcquisitionFunction):
+        return spec
+    if isinstance(spec, str):
+        spec = {spec: {}}
+    if isinstance(spec, dict) and len(spec) == 1:
+        name = list(spec)[0]
+        kwargs = dict(spec[name] or {})
+        cls = getattr(af_module, name, None)
+        if cls is None or not issubclass(cls, AcquisitionFunction):
+            raise ValueError(f"Unknown acquisition function '{name}'.")
+        if cls is LogExp or issubclass(cls, LogExp):
+            kwargs.setdefault("dimension", d)
+            kwargs.setdefault("zeta_scaling", zeta_scaling)
+        return cls(**kwargs)
+    raise ValueError(f"Cannot build acquisition function from {spec!r}")
+
+
+def append_lie(family, p: SurrogateParams, x_raw, y_raw):
+    """
+    Kriging-believer conditioning as a pure O(nmax^2) update on the
+    surrogate pytree: append (x, lie) without refitting anything.  This is
+    the TPU-native replacement for the reference's deepcopy + refactorize
+    model cache (gpry/gp_acquisition.py:1522-1555).
+    """
+    x_raw = jnp.atleast_2d(x_raw)
+    y_raw = jnp.atleast_1d(y_raw)
+    x_ = (x_raw - p.x_loc) / p.x_scale
+    y_ = (y_raw - p.y_loc) / p.y_scale
+    X2, y2, n2, L2, alpha2 = chol_append(
+        family, p.theta, p.X, p.y, p.n, p.noise_var, p.L, x_, y_)
+    return p._replace(X=X2, y=y2, n=n2, L=L2, alpha=alpha2)
+
+
+class GenericGPAcquisition:
+    """Base class for acquisition engines."""
+
+    def __init__(self, bounds, acq_func="LogExp", preprocessing_X=None,
+                 zeta_scaling=0.85, verbose=1):
+        self.bounds = check_and_return_bounds(bounds)
+        self.verbose = verbose
+        self.zeta_scaling = zeta_scaling
+        self.preprocessing_X = preprocessing_X
+        self.acq_func = construct_acq_func(
+            acq_func, len(self.bounds), zeta_scaling=zeta_scaling)
+        self.mean = None
+        self.cov = None
+
+    @property
+    def d(self):
+        return self.bounds.shape[0]
+
+    def _parse_dim_spec(self, value, varname):
+        return get_Xnumber(value, "d", self.d, dtype=int, varname=varname)
+
+    def multi_add(self, gpr, n_points=1, bounds=None, rng=None):
+        raise NotImplementedError
+
+    # -- shared helpers ---------------------------------------------------------
+
+    @staticmethod
+    def _acq_values(acq_func, family, p, X_raw):
+        """Gated acquisition values at raw-space points (device)."""
+        mu, std = surrogate_predict(family, p, jnp.asarray(X_raw))
+        nv = p.noise_var ** 0.5 * p.y_scale  # noise std in raw-y units
+        del nv  # reference uses raw noise_level directly; handled by caller
+        return mu, std
+
+    def log(self, msg, level=3):
+        if self.verbose >= level:
+            print(msg)

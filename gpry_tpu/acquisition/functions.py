@@ -1,0 +1,236 @@
+"""
+Acquisition functions.
+
+Reference surface: gpry/acquisition_functions.py (1449 LoC).  The TPU build
+keeps each acquisition function as a *pure jittable function of (mu, sigma)*
+plus a tiny host-side class carrying hyperparameters — so the same object
+drives vmapped sweeps over thousands of nested-sampling candidates and
+autodiff gradients for the optimizer.
+
+The production function is ``LogExp`` (gpry/acquisition_functions.py:1015):
+
+    log A(x) = 2 zeta (mu(x) - y_max) + log sqrt(clip(sigma^2 - sigma_n^2, 0))
+
+with value -inf where sigma^2 <= sigma_n^2 or mu is not finite
+(gpry/acquisition_functions.py:983-992), and the auto-scaled
+``zeta = d**-zeta_scaling`` with default scaling 0.85
+(gpry/acquisition_functions.py:906-934, gpry/run.py:378).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def builtin_names():
+    """Names of all built-in acquisition functions."""
+    return [cls.__name__ for cls in AcquisitionFunction.__subclasses__()]
+
+
+def is_acquisition_function(obj):
+    return isinstance(obj, AcquisitionFunction)
+
+
+class AcquisitionFunction:
+    """
+    Base class.  Subclasses implement ``f(mu, std, baseline, noise_var,
+    **hyperparams)`` as a pure jittable function; ``__call__`` evaluates it
+    against a GPR (host API parity with the reference's callable protocol).
+    """
+
+    hasgradient = True
+
+    def get_params(self):
+        return dict(self._params)
+
+    def set_params(self, **params):
+        self._params.update(params)
+        for k, v in params.items():
+            setattr(self, k, v)
+        return self
+
+    # -- pure function surface ------------------------------------------------
+
+    def values(self, mu, std, y_max, noise_var):
+        """Jittable acquisition values from raw-space (mu, std)."""
+        raise NotImplementedError
+
+    # -- host API parity -------------------------------------------------------
+
+    def __call__(self, X, gpr, eval_gradient=False):
+        if eval_gradient:
+            mu, std, gmu, gstd = gpr.predict(
+                X, return_std=True, return_mean_grad=True,
+                return_std_grad=True)
+        else:
+            mu, std = gpr.predict(X, return_std=True)
+        noise_var = self._noise_var(gpr)
+        vals = np.asarray(self.values(
+            jnp.asarray(mu), jnp.asarray(std), gpr.y_max, noise_var))
+        if not eval_gradient:
+            return vals
+        g = self._gradient(np.asarray(mu), np.asarray(std),
+                           np.asarray(gmu), np.asarray(gstd),
+                           gpr.y_max, noise_var)
+        return vals, g
+
+    @staticmethod
+    def _noise_var(gpr):
+        nl = gpr.noise_level
+        return float(np.mean(nl)) if np.iterable(nl) else float(nl)
+
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_var):
+        raise NotImplementedError
+
+
+class LogExp(AcquisitionFunction):
+    """
+    Linearized exponentiated log-error bar (the production acquisition,
+    gpry/acquisition_functions.py:1015-1074).
+    """
+
+    def __init__(self, zeta=None, sigma_n=None, fixed=False, dimension=None,
+                 zeta_scaling=0.85):
+        if zeta is None:
+            if dimension is None:
+                raise ValueError(
+                    "Need 'dimension' to auto-scale zeta, or pass zeta.")
+            zeta = float(dimension) ** (-float(zeta_scaling))
+        self.zeta = float(zeta)
+        self.sigma_n = sigma_n
+        self.fixed = fixed
+        self.zeta_scaling = zeta_scaling
+        self._params = {"zeta": self.zeta, "sigma_n": sigma_n}
+
+    def values(self, mu, std, y_max, noise_var):
+        var = std * std - noise_var * noise_var
+        ok = (var > 0) & jnp.isfinite(mu)
+        safe_var = jnp.where(ok, var, 1.0)
+        vals = 2.0 * self.zeta * (mu - y_max) + 0.5 * jnp.log(safe_var)
+        return jnp.where(ok, vals, -jnp.inf)
+
+    def _noise_var(self, gpr):
+        if self.sigma_n is not None:
+            return float(self.sigma_n)
+        return super()._noise_var(gpr)
+
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_var):
+        # Reference gradient form (gpry/acquisition_functions.py:993-1007).
+        ok = (std**2 - noise_var**2 > 0) & np.isfinite(mu)
+        g = np.where(ok[..., None],
+                     gstd / np.where(ok, std - noise_var, 1.0)[..., None]
+                     + 2 * self.zeta * gmu,
+                     np.inf)
+        return g
+
+    def __repr__(self):
+        return f"LogExp(zeta={self.zeta:.3f})"
+
+
+class NonlinearLogExp(LogExp):
+    """
+    Nonlinear variant: exp(2 zeta (mu - y_max)) * (exp(std) - 1)
+    (gpry/acquisition_functions.py:1079; marked unused upstream, provided
+    for API parity).  Gradients not supported.
+    """
+
+    hasgradient = False
+
+    def values(self, mu, std, y_max, noise_var):
+        ok = (std > 0) & jnp.isfinite(mu)
+        vals = 2.0 * self.zeta * (mu - y_max) + \
+            jnp.log(jnp.expm1(jnp.where(ok, std, 1.0)))
+        return jnp.where(ok, vals, -jnp.inf)
+
+
+class ConstantAcqFunc(AcquisitionFunction):
+    """Constant acquisition (gpry/acquisition_functions.py:406)."""
+
+    def __init__(self, value=1.0, fixed=True):
+        self.value = float(value)
+        self.fixed = fixed
+        self._params = {"value": self.value}
+
+    def values(self, mu, std, y_max, noise_var):
+        return jnp.where(jnp.isfinite(mu), self.value, -jnp.inf)
+
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_var):
+        return np.zeros_like(gmu)
+
+
+class Mu(AcquisitionFunction):
+    """Pure exploitation: the GP mean (gpry/acquisition_functions.py:475)."""
+
+    def __init__(self, fixed=True):
+        self.fixed = fixed
+        self._params = {}
+
+    def values(self, mu, std, y_max, noise_var):
+        return mu
+
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_var):
+        return gmu
+
+
+class Std(AcquisitionFunction):
+    """Pure exploration: the GP std (gpry/acquisition_functions.py:557)."""
+
+    def __init__(self, fixed=True):
+        self.fixed = fixed
+        self._params = {}
+
+    def values(self, mu, std, y_max, noise_var):
+        return jnp.where(jnp.isfinite(mu), std, -jnp.inf)
+
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_var):
+        return gstd
+
+
+class ExpectedImprovement(AcquisitionFunction):
+    """Classic EI (gpry/acquisition_functions.py:758; unused upstream)."""
+
+    def __init__(self, xi=0.01, fixed=True):
+        self.xi = float(xi)
+        self.fixed = fixed
+        self._params = {"xi": self.xi}
+
+    def values(self, mu, std, y_max, noise_var):
+        from jax.scipy.stats import norm
+        ok = (std > 0) & jnp.isfinite(mu)
+        s = jnp.where(ok, std, 1.0)
+        z = (mu - y_max - self.xi) / s
+        ei = (mu - y_max - self.xi) * norm.cdf(z) + s * norm.pdf(z)
+        return jnp.where(ok, ei, 0.0)
+
+
+# -- operators (API parity with gpry/acquisition_functions.py:1287-1449) -----
+
+
+class _BinaryOp(AcquisitionFunction):
+    def __init__(self, f1, f2):
+        self.f1, self.f2 = f1, f2
+        self._params = {}
+
+    @property
+    def hasgradient(self):
+        return self.f1.hasgradient and self.f2.hasgradient
+
+
+class Sum(_BinaryOp):
+    def values(self, mu, std, y_max, noise_var):
+        return (self.f1.values(mu, std, y_max, noise_var)
+                + self.f2.values(mu, std, y_max, noise_var))
+
+
+class Product(_BinaryOp):
+    def values(self, mu, std, y_max, noise_var):
+        return (self.f1.values(mu, std, y_max, noise_var)
+                * self.f2.values(mu, std, y_max, noise_var))
+
+
+class Exponentiation(AcquisitionFunction):
+    def __init__(self, f, exponent):
+        self.f, self.exponent = f, float(exponent)
+        self._params = {}
+
+    def values(self, mu, std, y_max, noise_var):
+        return self.f.values(mu, std, y_max, noise_var) ** self.exponent

@@ -1,0 +1,62 @@
+"""
+Global numerical configuration for gpry_tpu.
+
+Precision policy
+----------------
+GP surrogate modelling of log-posteriors is numerically delicate: the kernel
+matrix can reach condition numbers ~1e6-1e8 even with the reference's default
+diagonal noise (``noise_level=1e-2`` on standardized y, cf. reference
+``gpry/gpr.py:265``).  float32 Cholesky loses most significant digits there,
+so the *factorization/fit* path defaults to float64.  On TPU, float64 is
+emulated but the kernel matrices of this workload are tiny
+(N <= max_total = 70 d^1.5, i.e. ~1.6k x 1.6k at d=8), so the emulation cost
+is negligible next to the batched prediction sweeps, which are
+matmul-dominated and can run in float32/bfloat16 on the MXU.
+
+``gpry_tpu`` therefore enables ``jax_enable_x64`` at import time (disable by
+setting the environment variable ``GPRY_TPU_X64=0`` *before* importing) and
+exposes per-component dtype knobs.
+"""
+
+import os
+
+import jax
+
+_X64 = os.environ.get("GPRY_TPU_X64", "1") not in ("0", "false", "False")
+if _X64:
+    jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402  (after x64 flag)
+
+#: dtype used for GP state, Cholesky factorization and LML optimization.
+FIT_DTYPE = jnp.float64 if _X64 else jnp.float32
+
+#: dtype used for large batched prediction sweeps (acquisition ranking, NS).
+#: float64 by default for parity; can be switched to float32 for speed.
+SWEEP_DTYPE = jnp.float64 if _X64 else jnp.float32
+
+
+def x64_enabled():
+    """Whether the package runs in float64 mode."""
+    return _X64
+
+
+# ---------------------------------------------------------------------------
+# Padded-buffer bucketing
+# ---------------------------------------------------------------------------
+# The training set grows every iteration.  To keep every jitted function
+# compiled once per *bucket* instead of once per size, padded buffer sizes
+# are rounded up to the next bucket boundary.  Buckets are multiples of 64
+# that grow geometrically (x1.5), aligned with TPU lane tiling (128) once
+# large enough.
+
+_MIN_BUCKET = 64
+
+
+def bucket_size(n: int) -> int:
+    """Smallest padded buffer size >= ``n`` from the bucket ladder."""
+    b = _MIN_BUCKET
+    while b < n:
+        # grow by 1.5x, rounded up to a multiple of 64
+        b = ((int(b * 1.5) + 63) // 64) * 64
+    return b

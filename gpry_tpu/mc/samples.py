@@ -1,0 +1,157 @@
+"""
+Monte-Carlo samples of the surrogate: generation and conversion.
+
+Reference surface: gpry/mc.py (532 LoC) — final/diagnostic sampling of the
+surrogate posterior plus getdist conversion.  Here the default sampler is
+the on-device nested sampler (mc.nested); host interop adapters live in
+mc.interfaces; getdist export is gated on its availability.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpry_tpu import config
+from gpry_tpu.mc.nested import run_nested_device
+from gpry_tpu.mc.mcmc import run_mcmc_device
+from gpry_tpu.models.gp import surrogate_predict_mean
+from gpry_tpu.utils.tools import (check_and_return_bounds, generic_params_names,
+                                  get_Xnumber)
+
+
+_LOGP_FNS = {}
+
+
+def surrogate_logp_fn(family):
+    """
+    The gated surrogate log-density as a stable-identity function
+    ``f(params, X) -> logp`` suitable for jit-cached samplers.
+    """
+    fn = _LOGP_FNS.get(family)
+    if fn is None:
+        def fn(params, X):
+            return surrogate_predict_mean(family, params, X)
+        fn.__name__ = f"surrogate_logp_{family}"
+        _LOGP_FNS[family] = fn
+    return fn
+
+
+def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
+                      options=None, verbose=1):
+    """
+    Draw MC samples from the surrogate posterior.
+
+    Replaces the reference's ``mc_sample_from_gp_ns/cobaya``
+    (gpry/mc.py:173-455).  ``sampler``: "nested" (on-device NS, default,
+    final-quality ``nlive=50d`` as in gpry/run.py:1660) or "mcmc" (on-device
+    ensemble of adaptive MH chains), or "uniform" (tests only).
+
+    Returns a samples dict: {"X", "logpost", "weights", "logZ"(NS only)}.
+    """
+    options = dict(options or {})
+    bounds = check_and_return_bounds(
+        bounds if bounds is not None else gpr.bounds)
+    d = bounds.shape[0]
+    dt = config.FIT_DTYPE
+    lo = jnp.asarray(bounds[:, 0], dt)
+    hi = jnp.asarray(bounds[:, 1], dt)
+    p = gpr.surrogate_params()
+    logp = surrogate_logp_fn(gpr.family)
+    seed = None
+    if isinstance(rng, np.random.Generator):
+        seed = int(rng.integers(2**31))
+    elif rng is not None:
+        seed = int(rng)
+    key = jax.random.PRNGKey(seed if seed is not None else 0)
+
+    if sampler == "nested":
+        nlive = get_Xnumber(options.get("nlive", "50d"), "d", d, dtype=int,
+                            varname="nlive")
+        num_repeats = get_Xnumber(options.get("num_repeats", "5d"), "d", d,
+                                  dtype=int, varname="num_repeats")
+        max_dead = int(options.get("max_dead", max(4000, 60 * d * nlive //
+                                                   max(1, d))))
+        res = run_nested_device(
+            logp, p, key, lo, hi, nlive=int(nlive),
+            num_repeats=int(num_repeats),
+            precision_criterion=float(options.get("precision_criterion",
+                                                  0.01)),
+            max_dead=max_dead)
+        logw = np.asarray(res.logw)
+        keep = np.isfinite(logw)
+        w = np.exp(logw[keep] - np.max(logw[keep]))
+        out = {
+            "X": np.asarray(res.X)[keep],
+            "logpost": np.asarray(res.logl)[keep],
+            "weights": w,
+            "logZ": float(res.logZ),
+            "n_calls": int(res.n_calls),
+        }
+        gpr.n_eval += int(res.n_calls)
+        return out
+    if sampler == "mcmc":
+        n_chains = int(options.get("n_chains", max(8, 2 * d)))
+        n_steps = int(options.get("n_steps", 2000))
+        X, logpost = run_mcmc_device(
+            logp, p, key, lo, hi, n_chains=n_chains, n_steps=n_steps,
+            covmat=options.get("covmat"))
+        X = np.asarray(X).reshape(-1, d)
+        logpost = np.asarray(logpost).ravel()
+        keep = np.isfinite(logpost)
+        gpr.n_eval += n_chains * n_steps * 2
+        return {"X": X[keep], "logpost": logpost[keep],
+                "weights": np.ones(int(keep.sum()))}
+    if sampler == "uniform":
+        # For tests only (reference: gpry/gp_acquisition.py:748-758).
+        n = int(options.get("n_samples", 5000))
+        X = np.asarray(jax.random.uniform(key, (n, d), dt) * (hi - lo) + lo)
+        logpost = np.asarray(surrogate_predict_mean(
+            gpr.family, p, jnp.asarray(X, dt)))
+        gpr.n_eval += n
+        return {"X": X, "logpost": logpost, "weights": np.ones(n)}
+    raise ValueError(f"Unknown sampler '{sampler}'.")
+
+
+def process_gdsamples(samples_dict, params=None, name=None):
+    """Alias of :func:`samples_dict_to_getdist` (reference: gpry/mc.py:459)."""
+    return samples_dict_to_getdist(samples_dict, params=params, name=name)
+
+
+def samples_dict_to_getdist(samples_dict, params=None, name=None):
+    """
+    Convert a samples dict to a getdist.MCSamples (reference:
+    gpry/mc.py:484).  Requires getdist (optional dependency).
+    """
+    try:
+        from getdist import MCSamples
+    except ImportError as excpt:
+        raise ImportError(
+            "getdist is not installed; install it for MCSamples export."
+        ) from excpt
+    X = np.asarray(samples_dict["X"])
+    d = X.shape[1]
+    names = params or generic_params_names(d)
+    return MCSamples(
+        samples=X,
+        weights=np.asarray(samples_dict.get("weights")),
+        loglikes=-np.asarray(samples_dict.get("logpost")),
+        names=names,
+        name_tag=name,
+    )
+
+
+def write_samples_txt(samples_dict, path, params=None):
+    """
+    Plain-text chain output (weight, -logpost, params...) like the
+    reference's final-MC chain files (gpry/mc.py:432-455).
+    """
+    X = np.asarray(samples_dict["X"])
+    w = np.asarray(samples_dict.get("weights", np.ones(len(X))))
+    logp = np.asarray(samples_dict.get("logpost", np.zeros(len(X))))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    data = np.column_stack([w, -logp, X])
+    header = "weight minus_logpost " + " ".join(
+        params or generic_params_names(X.shape[1]))
+    np.savetxt(path, data, header=header)

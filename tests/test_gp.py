@@ -1,0 +1,183 @@
+"""
+GP surrogate tests: golden-value parity with scikit-learn / the reference
+implementation on shared training sets, plus incremental-append consistency.
+"""
+
+import numpy as np
+import pytest
+
+from gpry_tpu.models.gp import GaussianProcessRegressor
+from gpry_tpu.models.preprocessing import Normalize_bounds, Normalize_y
+
+
+def make_gpr(bounds, **kw):
+    kw.setdefault("preprocessing_X", Normalize_bounds(bounds))
+    kw.setdefault("preprocessing_y", Normalize_y())
+    kw.setdefault("n_restarts_optimizer", 8)
+    kw.setdefault("random_state", 7)
+    return GaussianProcessRegressor(bounds=bounds, **kw)
+
+
+def logp_gauss(X, mean, cov_inv):
+    diff = np.atleast_2d(X) - mean
+    return -0.5 * np.einsum("ij,jk,ik->i", diff, cov_inv, diff)
+
+
+@pytest.mark.parametrize("kernel", ["RBF", "Matern"])
+def test_predict_matches_sklearn_fixed_theta(kernel, rng):
+    """With fixed hyperparameters, predictions must equal sklearn's GPR."""
+    d = 3
+    bounds = np.array([[-1.0, 2.0]] * d)
+    X = rng.uniform(-1, 2, size=(25, d))
+    cov_inv = np.linalg.inv(np.diag([0.5, 1.0, 2.0]))
+    y = logp_gauss(X, np.array([0.5, 0.5, 0.5]), cov_inv)
+
+    gpr = make_gpr(bounds, kernel=kernel, account_for_inf=False,
+                   clip_factor=None)
+    gpr.append_to_data(X, y, fit_gpr=False)
+
+    from sklearn.gaussian_process import GaussianProcessRegressor as SKGPR
+    from sklearn.gaussian_process.kernels import RBF, ConstantKernel, Matern
+    theta = gpr.kernel_theta
+    out_var = np.exp(theta[0])
+    ls = np.exp(theta[1:])
+    k = ConstantKernel(out_var) * (
+        RBF(ls) if kernel == "RBF" else Matern(ls, nu=1.5))
+    X_ = gpr.preprocessing_X.transform(X)
+    y_ = gpr.preprocessing_y.transform(y)
+    sk = SKGPR(kernel=k, alpha=gpr._transformed_noise_var(),
+               optimizer=None).fit(X_, y_)
+
+    Xq = rng.uniform(-1, 2, size=(40, d))
+    mean, std = gpr.predict(Xq, return_std=True)
+    m_, s_ = sk.predict(gpr.preprocessing_X.transform(Xq), return_std=True)
+    m_ref = gpr.preprocessing_y.inverse_transform(m_)
+    s_ref = gpr.preprocessing_y.inverse_transform_scale(s_)
+    assert np.allclose(mean, m_ref, atol=1e-8)
+    assert np.allclose(std, s_ref, atol=1e-8)
+
+
+def test_fit_improves_lml(rng):
+    d = 2
+    bounds = np.array([[-3.0, 3.0]] * d)
+    X = rng.uniform(-3, 3, size=(30, d))
+    y = logp_gauss(X, np.zeros(d), np.eye(d))
+    gpr = make_gpr(bounds)
+    gpr.append_to_data(X, y, fit_gpr=False)
+    lml_before = gpr.log_marginal_likelihood()
+    gpr.fit_gpr_hyperparameters(n_restarts=8)
+    assert gpr.fitted
+    assert gpr.log_marginal_likelihood_value_ >= lml_before - 1e-6
+
+
+def test_fit_matches_sklearn_optimum(rng):
+    """Our multistart LBFGS should find an LML >= sklearn's optimum."""
+    d = 2
+    bounds = np.array([[-3.0, 3.0]] * d)
+    X = rng.uniform(-3, 3, size=(40, d))
+    y = logp_gauss(X, np.zeros(d), np.eye(d)) + 0.01 * rng.normal(size=40)
+    gpr = make_gpr(bounds, account_for_inf=False)
+    gpr.append_to_data(X, y, fit_gpr={"n_restarts": 10})
+
+    from sklearn.gaussian_process import GaussianProcessRegressor as SKGPR
+    from sklearn.gaussian_process.kernels import RBF, ConstantKernel
+    X_ = gpr.preprocessing_X.transform(X)
+    y_ = gpr.preprocessing_y.transform(y)
+    k = ConstantKernel(1.0, (1e-4, 1e6)) * RBF([0.1] * d, (1e-3, 1e1))
+    sk = SKGPR(kernel=k, alpha=gpr._transformed_noise_var(),
+               n_restarts_optimizer=10).fit(X_, y_)
+    lml_sk = sk.log_marginal_likelihood(sk.kernel_.theta)
+    assert gpr.log_marginal_likelihood_value_ >= lml_sk - 0.1
+
+
+def test_incremental_append_matches_refactorization(rng):
+    d = 2
+    bounds = np.array([[0.0, 1.0]] * d)
+    X = rng.uniform(size=(20, d))
+    y = logp_gauss(X, 0.5 * np.ones(d), 25 * np.eye(d))
+    gpr = make_gpr(bounds)
+    gpr.append_to_data(X, y, fit_gpr={"n_restarts": 4})
+    Xq = rng.uniform(size=(15, d))
+
+    # Kriging-believer-style lie appends (no refits).
+    X_new = rng.uniform(size=(3, d))
+    y_new = gpr.predict(X_new)
+    gpr.append_to_data(X_new, y_new, fit_gpr=False, fit_classifier=False)
+    mean_fast, std_fast = gpr.predict(Xq, return_std=True)
+
+    gpr2 = make_gpr(bounds)
+    gpr2.append_to_data(np.vstack([X, X_new]), np.append(y, y_new),
+                        fit_gpr=False)
+    gpr2._theta = gpr._theta.copy()
+    gpr2.preprocessing_y.mean_ = gpr.preprocessing_y.mean_
+    gpr2.preprocessing_y.std_ = gpr.preprocessing_y.std_
+    # refit transforms with shared preprocessor state
+    gpr2.X_train = np.vstack([X, X_new])
+    gpr2.y_train = np.append(y, y_new)
+    gpr2._update_model()
+    mean_full, std_full = gpr2.predict(Xq, return_std=True)
+    assert np.allclose(mean_fast, mean_full, atol=1e-7)
+    assert np.allclose(std_fast, std_full, atol=1e-7)
+
+
+def test_svm_gates_infinities(rng):
+    """Points below the threshold train the classifier, not the GP, and
+    predictions there return -inf (reference: gpry/gpr.py:1136-1174)."""
+    d = 2
+    bounds = np.array([[-5.0, 5.0]] * d)
+    X = rng.uniform(-5, 5, size=(60, d))
+    y = logp_gauss(X, np.zeros(d), np.eye(d) * 4)
+    y[np.linalg.norm(X, axis=1) > 3.0] = -np.inf
+    gpr = make_gpr(bounds, account_for_inf="SVM", inf_threshold="20s")
+    gpr.append_to_data(X, y, fit_gpr={"n_restarts": 4})
+    assert gpr.n < len(y)
+    assert gpr.n_total == len(y)
+    # Far-out point should be classified infinite
+    mean, std = gpr.predict(np.array([[4.9, 4.9]]), return_std=True)
+    assert mean[0] == -np.inf and std[0] == 0.0
+    # Near the mode: finite and accurate-ish
+    mean = gpr.predict(np.array([[0.1, 0.0]]))
+    assert np.isfinite(mean[0])
+
+
+def test_y_max_and_clipping(rng):
+    d = 1
+    bounds = np.array([[0.0, 1.0]])
+    X = np.linspace(0.1, 0.9, 12)[:, None]
+    y = -10 * (X[:, 0] - 0.5) ** 2
+    gpr = make_gpr(bounds, clip_factor=1.1)
+    gpr.append_to_data(X, y, fit_gpr={"n_restarts": 4})
+    assert np.isclose(gpr.y_max, y.max())
+    mean = gpr.predict(np.linspace(0, 1, 101)[:, None])
+    clip = 1.1 * y.max() - 0.1 * y.min()
+    assert np.all(mean <= clip + 1e-9)
+
+
+def test_grad_predictions(rng):
+    # Fixed moderate hyperparameters: with a fitted (very confident) GP,
+    # sigma ~ 1e-3 and finite differences of sigma drown in the linear-solve
+    # noise floor, so FD validation needs sigma = O(1).
+    d = 2
+    bounds = np.array([[0.0, 1.0]] * d)
+    X = rng.uniform(size=(20, d))
+    y = logp_gauss(X, 0.5 * np.ones(d), 25 * np.eye(d))
+    gpr = make_gpr(bounds)
+    gpr.append_to_data(X, y, fit_gpr=False)
+    Xq = rng.uniform(0.2, 0.8, size=(5, d))
+    mean, std, gmean, gstd = gpr.predict(
+        Xq, return_std=True, return_mean_grad=True, return_std_grad=True)
+    # central finite-difference check (the GP has short length scales, so
+    # one-sided differences carry O(eps * f'') truncation error)
+    eps = 1e-5
+    for j in range(d):
+        Xp, Xm = Xq.copy(), Xq.copy()
+        Xp[:, j] += eps
+        Xm[:, j] -= eps
+        mp, sp = gpr.predict(Xp, return_std=True)
+        mm, sm = gpr.predict(Xm, return_std=True)
+        assert np.allclose((mp - mm) / (2 * eps), gmean[:, j],
+                           rtol=1e-4, atol=1e-6)
+        # sigma can be tiny where the GP is confident, making its FD noisy:
+        # compare with a tolerance scaled to sigma's magnitude
+        assert np.allclose((sp - sm) / (2 * eps), gstd[:, j],
+                           rtol=5e-2, atol=1e-3 * max(1e-3, std.max()))
