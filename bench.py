@@ -1,0 +1,127 @@
+"""
+Driver benchmark: GP fit + NORA acquisition seconds/iteration at d=8.
+
+Measures one full surrogate-side iteration at the BASELINE.md operating
+point (d=8, N=224 training points — the expected training-set size at
+convergence, tests/grid.py:77-80 heuristic): a full multi-restart
+hyperparameter fit (10+2d = 26 restarts, gpry/run.py:317) plus a NORA
+``multi_add`` batch of d=8 Kriging-believer points (fresh on-device NS run
++ ranked-pool selection).
+
+The baseline is the *reference implementation measured live on this host's
+CPU* (same data, same restart count, BatchOptimizer acquisition — its NORA
+needs PolyChord/UltraNest, which are not installed).  If the reference
+cannot be imported, a previously measured constant for this host is used.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <our sec/iter>, "unit": "s",
+   "vs_baseline": <reference_sec / ours_sec>}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+D = 8
+N_TRAIN = 224
+N_RESTARTS = 10 + 2 * D
+N_BATCH = D
+REF_FALLBACK_SECONDS = 84.0  # measured 2026-08-16 on this host's CPU
+
+
+def make_data(seed=0):
+    rng = np.random.default_rng(seed)
+    bounds = np.array([[0.0, 1.0]] * D)
+    X = rng.uniform(size=(N_TRAIN, D))
+    y = -0.5 * 25 * np.sum((X - 0.5) ** 2, axis=1)
+    return bounds, X, y
+
+
+def bench_ours(n_iters=3):
+    import gpry_tpu  # noqa: F401
+    from gpry_tpu.models.gp import GaussianProcessRegressor
+    from gpry_tpu.models.preprocessing import Normalize_bounds, Normalize_y
+    from gpry_tpu.acquisition import NORA
+
+    bounds, X, y = make_data()
+    gpr = GaussianProcessRegressor(
+        bounds=bounds, preprocessing_X=Normalize_bounds(bounds),
+        preprocessing_y=Normalize_y(), random_state=0, verbose=1)
+    gpr.append_to_data(X, y, fit_gpr=False)
+    nora = NORA(bounds, acq_func={"LogExp": {"dimension": D}},
+                rng=np.random.default_rng(1), verbose=1)
+
+    # warmup: compile everything once (cached afterwards)
+    gpr.fit_gpr_hyperparameters(n_restarts=N_RESTARTS)
+    nora._iter_since_mc = None
+    nora.multi_add(gpr, n_points=N_BATCH)
+
+    times = []
+    for i in range(n_iters):
+        nora._iter_since_mc = None  # force a fresh NS run each iteration
+        t0 = time.perf_counter()
+        gpr.fit_gpr_hyperparameters(n_restarts=N_RESTARTS)
+        nora.multi_add(gpr, n_points=N_BATCH)
+        times.append(time.perf_counter() - t0)
+    return float(np.mean(times))
+
+
+def bench_reference():
+    """Measure the reference live (CPU); None if unavailable."""
+    import types
+    # getdist stub: the reference imports it unconditionally
+    gd = types.ModuleType("getdist")
+    gd.__path__ = []
+    mcs = types.ModuleType("getdist.mcsamples")
+    mcs.MCSamples = object
+    mcs.loadMCSamples = lambda *a, **k: None
+    gm = types.ModuleType("getdist.gaussian_mixtures")
+    gm.GaussianND = object
+    for name, mod in (("getdist", gd), ("getdist.mcsamples", mcs),
+                      ("getdist.gaussian_mixtures", gm)):
+        sys.modules.setdefault(name, mod)
+    sys.path.insert(0, "/root/reference")
+    try:
+        from gpry.gpr import GaussianProcessRegressor as RefGPR
+        from gpry.preprocessing import Normalize_bounds, Normalize_y
+        from gpry.gp_acquisition import BatchOptimizer
+    except Exception:
+        return None
+    finally:
+        sys.path.remove("/root/reference")
+
+    bounds, X, y = make_data()
+    gpr = RefGPR(bounds=bounds, preprocessing_X=Normalize_bounds(bounds),
+                 preprocessing_y=Normalize_y(),
+                 random_state=np.random.default_rng(0), verbose=1)
+    gpr.append_to_data(X, y, fit_gpr={"n_restarts": 2})
+    acq = BatchOptimizer(
+        bounds, acq_func={"LogExp": {"dimension": D, "zeta_scaling": 0.85}},
+        verbose=1)
+    t0 = time.perf_counter()
+    gpr.fit_gpr_hyperparameters(n_restarts=N_RESTARTS)
+    acq.multi_add(gpr, n_points=N_BATCH, rng=np.random.default_rng(1))
+    return time.perf_counter() - t0
+
+
+def main():
+    ours = bench_ours()
+    try:
+        ref = bench_reference()
+    except Exception:
+        ref = None
+    if ref is None:
+        ref = REF_FALLBACK_SECONDS
+    print(json.dumps({
+        "metric": "GP fit (26 restarts) + NORA acquisition (batch=8) "
+                  "sec/iter at d=8, N=224",
+        "value": round(ours, 4),
+        "unit": "s",
+        "vs_baseline": round(ref / ours, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,3 +8,20 @@ __version__ = "0.1.0"
 
 # Importing config first sets the x64 flag before any jax.numpy use.
 from gpry_tpu import config  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy top-level exports (keep `import gpry_tpu` light).
+    if name == "Runner":
+        from gpry_tpu.run import Runner
+        return Runner
+    if name == "GaussianProcessRegressor":
+        from gpry_tpu.models.gp import GaussianProcessRegressor
+        return GaussianProcessRegressor
+    if name == "Truth":
+        from gpry_tpu.truth import Truth
+        return Truth
+    if name == "CobayaWrapper":
+        from gpry_tpu.cobaya import CobayaWrapper
+        return CobayaWrapper
+    raise AttributeError(f"module 'gpry_tpu' has no attribute '{name}'")

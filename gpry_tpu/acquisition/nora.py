@@ -1,0 +1,213 @@
+"""
+NORA: Nested sampling Optimization of the Ranked Acquisition.
+
+Reference behavior: gpry/gp_acquisition.py:525-1191 (the engine of
+arXiv:2305.19267): instead of gradient-ascending the acquisition, run a
+nested sampler over the *surrogate* posterior, evaluate the acquisition on
+the (dead + live) NS sample, and pick a Kriging-believer batch with a
+ranked pool.  The NS sample doubles as the surrogate MC sample used for the
+GaussianKL convergence criterion and mean/cov estimates.
+
+TPU-native mapping (vs the reference's PolyChord-over-MPI):
+
+* The NS run is the on-device vectorized sampler (mc.nested) — the same
+  fallback chain (polychord -> ultranest, gpry/gp_acquisition.py:650-682)
+  is kept behind ``sampler=`` for hosts with those packages, with
+  ``"device"`` the default.
+* The acquisition sweep over thousands of NS points is ONE batched jitted
+  call (the reference strided-splits it over MPI ranks,
+  gpry/gp_acquisition.py:1110-1125).
+* Sample reuse between NS runs (every ``mc_every`` iterations) reweights
+  the stored sample under the updated GP with one batched predict
+  (gpry/gp_acquisition.py:875-919).
+* NS effort follows the reference schedule: ``nlive = min(3 n_train,
+  nlive_max)`` (bucketed to limit recompiles), ``num_repeats = 5d``,
+  ``precision_criterion = 0.01`` (gpry/gp_acquisition.py:684-699).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gpry_tpu.acquisition.base import GenericGPAcquisition
+from gpry_tpu.acquisition.ranked_pool import RankedPool
+from gpry_tpu.mc.nested import run_nested_device
+from gpry_tpu.models.gp import surrogate_predict
+from gpry_tpu.utils.tools import (check_and_return_bounds, get_Xnumber,
+                                  mean_covmat_from_samples)
+
+
+class NORA(GenericGPAcquisition):
+    """
+    Reference-compatible constructor (gpry/gp_acquisition.py:584-634):
+    defaults ``mc_every="1d"``, ``nlive_per_training=3``,
+    ``nlive_max="25d"``, ``num_repeats="5d"``,
+    ``precision_criterion_target=0.01``.
+    """
+
+    def __init__(self, bounds, acq_func="LogExp", mc_every="1d",
+                 nlive_per_training=3, nlive_max="25d", num_repeats="5d",
+                 precision_criterion_target=0.01, nprior_per_nlive=10,
+                 sampler="device", preprocessing_X=None, zeta_scaling=0.85,
+                 verbose=1, rng=None):
+        super().__init__(bounds, acq_func=acq_func,
+                         preprocessing_X=preprocessing_X,
+                         zeta_scaling=zeta_scaling, verbose=verbose)
+        self.mc_every = self._parse_dim_spec(mc_every, "mc_every")
+        self.nlive_per_training = int(nlive_per_training)
+        self.nlive_max = self._parse_dim_spec(nlive_max, "nlive_max")
+        self.num_repeats = self._parse_dim_spec(num_repeats, "num_repeats")
+        self.precision_criterion_target = float(precision_criterion_target)
+        self.nprior_per_nlive = int(nprior_per_nlive)
+        self.sampler = sampler
+        self.rng = rng if isinstance(rng, np.random.Generator) \
+            else np.random.default_rng(rng)
+        self._iter_since_mc = None  # None -> force MC at first call
+        self.last_MC_X = None
+        self.last_MC_logp = None
+        self.last_MC_logw = None
+        self.last_MC_sigma = None
+        self._proposed = np.empty((0, self.d))
+        self.mean = None
+        self.cov = None
+        self.last_logZ = None
+
+    # -- NS effort schedule (reference: gpry/gp_acquisition.py:684-699) ------
+
+    def _nlive(self, gpr):
+        nlive = min(self.nlive_per_training * max(gpr.n, 1), self.nlive_max)
+        # bucket to limit jit recompiles: quarters of nlive_max
+        quarter = max(1, self.nlive_max // 4)
+        return int(min(self.nlive_max,
+                       max(quarter, int(np.ceil(nlive / quarter)) * quarter)))
+
+    # ------------------------------------------------------------- NS running
+
+    def _run_ns(self, gpr):
+        from gpry_tpu.mc.samples import surrogate_logp_fn
+        p = gpr.surrogate_params()
+        dt = p.X.dtype
+        lo = jnp.asarray(self.bounds[:, 0], dt)
+        hi = jnp.asarray(self.bounds[:, 1], dt)
+        nlive = self._nlive(gpr)
+        max_dead = int(nlive * max(10, 3 * self.d))
+        key = jax.random.PRNGKey(int(self.rng.integers(2**31)))
+        res = run_nested_device(
+            surrogate_logp_fn(gpr.family), p, key, lo, hi, nlive=nlive,
+            num_repeats=int(self.num_repeats),
+            precision_criterion=self.precision_criterion_target,
+            max_dead=max_dead)
+        gpr.n_eval += int(res.n_calls)
+        logw = np.asarray(res.logw)
+        keep = np.isfinite(logw) & np.isfinite(np.asarray(res.logl))
+        X = np.asarray(res.X)[keep]
+        logp = np.asarray(res.logl)[keep]
+        logw = logw[keep]
+        # predicted std over the sample (one batched device call)
+        _, sd = surrogate_predict(gpr.family, p, jnp.asarray(X, dt))
+        self.last_MC_X = X
+        self.last_MC_logp = logp
+        self.last_MC_logw = logw
+        self.last_MC_sigma = np.asarray(sd)
+        self.last_logZ = float(res.logZ)
+        self.log(f"[NORA] NS run: {len(X)} samples, nlive={nlive}, "
+                 f"logZ={self.last_logZ:.3f}, calls={int(res.n_calls)}",
+                 level=3)
+
+    def _reweight_last(self, gpr):
+        """Reuse the stored NS sample under the updated GP
+        (reference: gpry/gp_acquisition.py:875-919)."""
+        p = gpr.surrogate_params()
+        dt = p.X.dtype
+        mu, sd = surrogate_predict(gpr.family, p,
+                                   jnp.asarray(self.last_MC_X, dt))
+        mu = np.asarray(mu)
+        self.last_MC_logw = self.last_MC_logw + (mu - self.last_MC_logp)
+        self.last_MC_logp = mu
+        self.last_MC_sigma = np.asarray(sd)
+        gpr.n_eval += len(mu)
+
+    # ----------------------------------------------------------------- multi_add
+
+    def multi_add(self, gpr, n_points=1, bounds=None, rng=None):
+        """
+        Propose ``n_points`` Kriging-believer points from the ranked NS
+        sample (reference: gpry/gp_acquisition.py:971-1108).
+        """
+        if rng is not None and isinstance(rng, np.random.Generator):
+            self.rng = rng
+        if bounds is not None:
+            b = check_and_return_bounds(bounds)
+            bounds_changed = not np.allclose(b, self.bounds)
+            if bounds_changed:
+                self.bounds = b
+                self._iter_since_mc = None  # force resample
+        # 1. fresh NS sample or reweighted reuse
+        if (self._iter_since_mc is None
+                or self._iter_since_mc >= self.mc_every
+                or self.last_MC_X is None or len(self.last_MC_X) == 0):
+            self._run_ns(gpr)
+            self._iter_since_mc = 0
+            self._proposed = np.empty((0, self.d))
+        else:
+            self._reweight_last(gpr)
+        self._iter_since_mc += 1
+
+        X = self.last_MC_X
+        y = self.last_MC_logp
+        sd = self.last_MC_sigma
+
+        # mean/cov of the surrogate posterior from the weighted sample
+        w = np.exp(self.last_MC_logw - np.max(self.last_MC_logw))
+        try:
+            self.mean, self.cov = mean_covmat_from_samples(X, w)
+        except Exception:
+            self.mean, self.cov = None, None
+
+        # 2. drop already-proposed points (gpry/gp_acquisition.py:1037-1047)
+        if len(self._proposed):
+            fresh = ~np.any(
+                np.all(np.isclose(X[:, None, :], self._proposed[None],
+                                  atol=1e-12), axis=-1), axis=-1)
+            X, y, sd = X[fresh], y[fresh], sd[fresh]
+
+        # 3. acquisition over the sample (one batched evaluation)
+        noise_var = float(np.mean(np.square(gpr.noise_level)))
+        acq_fn = lambda yy, ss: np.asarray(self.acq_func.values(
+            jnp.asarray(yy), jnp.asarray(ss), gpr.y_max, noise_var))
+        acq = acq_fn(y, sd)
+
+        # 4. ranked-pool Kriging-believer selection
+        pool = RankedPool(n_points, gpr, acq_fn, verbose=self.verbose)
+        pool.add(X, y=y, sigma=sd, acq=acq, method="bulk")
+        X_out, y_lies, acq_out = pool.get()
+        self._proposed = np.vstack([self._proposed, X_out]) \
+            if len(self._proposed) else np.copy(X_out)
+        return X_out, y_lies, acq_out
+
+    # -------------------------------------------------------------- accessors
+
+    def last_MC_sample(self):
+        """(X, logp, weights) of the last surrogate NS sample
+        (reference: gpry/gp_acquisition.py:921-954)."""
+        if self.last_MC_X is None:
+            raise ValueError("No NS sample available yet.")
+        w = np.exp(self.last_MC_logw - np.max(self.last_MC_logw))
+        return self.last_MC_X, self.last_MC_logp, w
+
+    def last_MC_sample_getdist(self, params=None):
+        from gpry_tpu.mc.samples import samples_dict_to_getdist
+        X, logp, w = self.last_MC_sample()
+        return samples_dict_to_getdist(
+            {"X": X, "logpost": logp, "weights": w}, params=params)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["rng"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if self.rng is None:
+            self.rng = np.random.default_rng()

@@ -26,6 +26,20 @@ _X64 = os.environ.get("GPRY_TPU_X64", "1") not in ("0", "false", "False")
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the vmapped-LBFGS and nested-sampler graphs
+# take minutes to compile on TPU; cache them across processes.  Disable with
+# GPRY_TPU_COMP_CACHE=0.
+if os.environ.get("GPRY_TPU_COMP_CACHE", "1") not in ("0", "false"):
+    _cache_dir = os.environ.get(
+        "GPRY_TPU_COMP_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "gpry_tpu_xla"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # cache is best-effort
+        pass
+
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 
 #: dtype used for GP state, Cholesky factorization and LML optimization.

@@ -1,0 +1,54 @@
+"""
+Per-iteration diagnosis callback.
+
+Reference surface: gpry/diag.py (222 LoC): a callback (``Runner(...,
+callback=diagnosis)``) that checks internal consistency of the classifier
+and GPR each iteration and optionally dumps plots.
+"""
+
+import numpy as np
+
+
+def diagnosis(runner, plot=False):
+    """
+    Consistency checks (reference: gpry/diag.py:26-151):
+
+    * every GPR training point must be classified finite by the threshold;
+    * the classifier's predictions at its own training points should agree
+      with their labels (SVC with C=1e7 nearly interpolates);
+    * report prediction residuals at the newly added points.
+    """
+    gpr = runner.gpr
+    report = {"iteration": runner.current_iteration}
+
+    # threshold consistency
+    finite_mask = gpr._is_finite_all()
+    report["n_finite_threshold"] = int(np.sum(finite_mask))
+    report["n_gpr_train"] = gpr.n
+    ok_sizes = report["n_finite_threshold"] == gpr.n
+    report["sizes_consistent"] = bool(ok_sizes)
+
+    # classifier self-consistency
+    clf = gpr.infinities_classifier
+    if clf is not None and clf.n > 0 and not clf.all_finite:
+        pred = clf.predict(clf.X_train)
+        agree = float(np.mean(pred == clf.y_finite))
+        report["classifier_train_agreement"] = agree
+        if agree < 0.95:
+            runner.log(f"[DIAG] classifier agreement low: {agree:.2f}", 2)
+
+    # prediction residuals at the last appended finite points
+    X_new, y_new = gpr.last_appended_finite
+    if len(y_new):
+        y_pred = gpr.predict(X_new)
+        resid = np.abs(y_pred - y_new)
+        report["max_residual_last_batch"] = float(np.max(resid)) \
+            if len(resid) else np.nan
+
+    if plot and runner.checkpoint:
+        try:
+            runner.plot_progress()
+        except Exception:
+            pass
+    runner.log(f"[DIAG] {report}", 3)
+    return report

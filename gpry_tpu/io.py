@@ -1,0 +1,121 @@
+"""
+Checkpointing.
+
+Reference format: 6 dill pickles per checkpoint dir — ``tru.pkl`` (Truth
+re-init dict), ``gpr.pkl``, ``acq.pkl``, ``con.pkl``, ``opt.pkl``,
+``pro.pkl`` (reference: gpry/io.py:12-156).  The same layout is kept so
+that checkpoint dirs are recognizable, but device arrays inside the GPR are
+converted to host numpy on save and restored on load (the "light"
+checkpoint format the reference's FUTURE.md:33-35 wishes for: arrays +
+hyperparameters, refactorized on load).
+"""
+
+import os
+
+import dill
+import numpy as np
+
+_CHECKPOINT_FILES = ("tru.pkl", "gpr.pkl", "acq.pkl", "con.pkl", "opt.pkl",
+                     "pro.pkl")
+
+
+def create_path(path, verbose=True):
+    """Create the checkpoint directory."""
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def check_checkpoint(path=None):
+    """
+    Boolean array: which of the 6 checkpoint files exist at ``path``
+    (reference: gpry/io.py:41-59).
+    """
+    if path is None:
+        return np.full(len(_CHECKPOINT_FILES), False)
+    return np.array([os.path.exists(os.path.join(path, f))
+                     for f in _CHECKPOINT_FILES])
+
+
+def _device_to_host(obj):
+    """Recursively convert jax arrays in an object's __dict__ to numpy."""
+    import jax
+    state = getattr(obj, "__dict__", None)
+    if state is None:
+        return obj
+    for k, v in state.items():
+        if isinstance(v, jax.Array):
+            state[k] = ("__jax_array__", np.asarray(v))
+    return obj
+
+
+def _host_to_device(obj):
+    import jax.numpy as jnp
+    state = getattr(obj, "__dict__", None)
+    if state is None:
+        return obj
+    for k, v in state.items():
+        if isinstance(v, tuple) and len(v) == 2 and v[0] == "__jax_array__":
+            state[k] = jnp.asarray(v[1])
+    return obj
+
+
+def save_checkpoint(path, truth, gpr, acquisition, convergence, options,
+                    progress):
+    """
+    Save the six checkpoint objects (reference: gpry/io.py:110-156).
+    """
+    if path is None:
+        return
+    create_path(path)
+    truth_dict = truth.as_dict() if hasattr(truth, "as_dict") else truth
+    objs = {
+        "tru.pkl": truth_dict,
+        "gpr.pkl": _device_to_host(gpr),
+        "acq.pkl": acquisition,
+        "con.pkl": convergence,
+        "opt.pkl": options,
+        "pro.pkl": progress,
+    }
+    for fname, obj in objs.items():
+        with open(os.path.join(path, fname), "wb") as f:
+            dill.dump(obj, f)
+    # restore device arrays in the live object
+    _host_to_device(gpr)
+
+
+def read_checkpoint(path, truth=None):
+    """
+    Load the six checkpoint objects; returns
+    (truth, gpr, acquisition, convergence, options, progress)
+    (reference: gpry/io.py:62-107).
+    """
+    loaded = []
+    for fname in _CHECKPOINT_FILES:
+        full = os.path.join(path, fname)
+        with open(full, "rb") as f:
+            loaded.append(dill.load(f))
+    truth_dict, gpr, acq, con, opt, pro = loaded
+    _host_to_device(gpr)
+    if truth is None and isinstance(truth_dict, dict) and \
+            "loglike" in truth_dict:
+        from gpry_tpu.truth import Truth
+        truth = Truth(**truth_dict)
+    elif truth is None:
+        truth = truth_dict
+    return truth, gpr, acq, con, opt, pro
+
+
+def ensure_gpr(gpr):
+    """
+    Accept a GPR instance or a checkpoint path and return the GPR
+    (reference: gpry/io.py:159-202).
+    """
+    if isinstance(gpr, str):
+        path = gpr
+        full = os.path.join(path, "gpr.pkl")
+        if not os.path.exists(full):
+            raise ValueError(f"No GPR checkpoint found at {path}.")
+        with open(full, "rb") as f:
+            out = dill.load(f)
+        return _host_to_device(out)
+    return gpr

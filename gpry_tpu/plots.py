@@ -1,0 +1,194 @@
+"""
+Progress and diagnosis plotting.
+
+Reference surface: gpry/plots.py (1255 LoC).  matplotlib-based; the corner
+plot uses getdist when available and falls back to a plain matplotlib
+pair grid otherwise (getdist is an optional dependency).
+"""
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def _finish(fig, save, show=False):
+    if save:
+        import os
+        os.makedirs(os.path.dirname(save) or ".", exist_ok=True)
+        fig.savefig(save, dpi=150, bbox_inches="tight")
+    if show:  # pragma: no cover
+        _plt().show()
+    _plt().close(fig)
+    return fig
+
+
+def plot_convergence(criteria, save=None, show=False):
+    """Criterion values vs truth evaluations
+    (reference: gpry/plots.py:679)."""
+    plt = _plt()
+    if not isinstance(criteria, (list, tuple)):
+        criteria = [criteria]
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for cc in criteria:
+        vals = np.asarray(cc.values, dtype=float)
+        n_evals = np.asarray(cc.n_posterior_evals, dtype=float)
+        if len(vals) == 0:
+            continue
+        ax.plot(n_evals, vals, "o-", label=type(cc).__name__)
+        try:
+            limit = cc.limit
+            if np.isfinite(limit):
+                ax.axhline(limit, ls="--", color="grey", alpha=0.5)
+        except (NotImplementedError, TypeError):
+            pass
+    ax.set_yscale("log")
+    ax.set_xlabel("number of posterior evaluations")
+    ax.set_ylabel("criterion value")
+    ax.legend()
+    return _finish(fig, save, show)
+
+
+def plot_trace(gpr, save=None, show=False):
+    """Per-parameter trace of accepted training points
+    (reference: gpry/plots.py:815)."""
+    plt = _plt()
+    X, y = gpr.X_train, gpr.y_train
+    d = gpr.d
+    fig, axes = plt.subplots(d + 1, 1, figsize=(7, 1.6 * (d + 1)),
+                             sharex=True)
+    axes = np.atleast_1d(axes)
+    n = np.arange(len(y))
+    for i in range(d):
+        axes[i].plot(n, X[:, i], ".")
+        axes[i].set_ylabel(f"x_{i + 1}")
+    axes[-1].plot(n, y, ".")
+    axes[-1].set_ylabel("log(p)")
+    axes[-1].set_xlabel("training point index")
+    return _finish(fig, save, show)
+
+
+def plot_slices(truth, gpr, n_points=101, save=None, show=False):
+    """1-d slices of truth vs surrogate through the best training point
+    (reference: gpry/plots.py:165-407)."""
+    plt = _plt()
+    d = gpr.d
+    bounds = np.asarray(truth.prior_bounds if truth is not None
+                        else gpr.bounds)
+    x0 = gpr.X_train[np.argmax(gpr.y_train)] if gpr.n else \
+        bounds.mean(axis=1)
+    fig, axes = plt.subplots(1, d, figsize=(4 * d, 3.2), squeeze=False)
+    for i in range(d):
+        ax = axes[0, i]
+        grid = np.linspace(bounds[i, 0], bounds[i, 1], n_points)
+        Xq = np.tile(x0, (n_points, 1))
+        Xq[:, i] = grid
+        mu, sd = gpr.predict(Xq, return_std=True)
+        ax.plot(grid, mu, label="GP mean")
+        ax.fill_between(grid, mu - sd, mu + sd, alpha=0.3)
+        if truth is not None:
+            yt = np.array([truth.logp(x) for x in Xq])
+            ax.plot(grid, yt, "k--", label="truth")
+        ax.set_xlabel(f"x_{i + 1}")
+        if i == 0:
+            ax.set_ylabel("log(p)")
+            ax.legend()
+    return _finish(fig, save, show)
+
+
+def plot_corner(samples_dict, params=None, gpr=None, truth_samples=None,
+                save=None, show=False):
+    """
+    Corner plot of an MC sample, with training points overlaid
+    (reference: gpry/plots.py:412-676 via getdist; matplotlib fallback).
+    """
+    X = np.asarray(samples_dict["X"])
+    w = np.asarray(samples_dict.get("weights", np.ones(len(X))))
+    d = X.shape[1]
+    names = params or [f"x_{i + 1}" for i in range(d)]
+    try:
+        from getdist import MCSamples, plots as gdplots
+        gds = MCSamples(samples=X, weights=w, names=names)
+        gdp = gdplots.get_subplot_plotter()
+        gdp.triangle_plot([gds], filled=True)
+        fig = gdp.fig
+        if gpr is not None:
+            getdist_add_training(gdp, names, gpr)
+        return _finish(fig, save, show)
+    except ImportError:
+        pass
+    plt = _plt()
+    fig, axes = plt.subplots(d, d, figsize=(2.2 * d, 2.2 * d),
+                             squeeze=False)
+    for i in range(d):
+        for j in range(d):
+            ax = axes[i, j]
+            if j > i:
+                ax.axis("off")
+                continue
+            if i == j:
+                ax.hist(X[:, i], bins=40, weights=w, density=True,
+                        histtype="step")
+            else:
+                ax.hist2d(X[:, j], X[:, i], bins=40, weights=w)
+                if gpr is not None and gpr.n:
+                    ax.plot(gpr.X_train[:, j], gpr.X_train[:, i], "r.",
+                            ms=2)
+            if i == d - 1:
+                ax.set_xlabel(names[j])
+            if j == 0:
+                ax.set_ylabel(names[i])
+    return _finish(fig, save, show)
+
+
+def getdist_add_training(gdplot, params, gpr, colormap="viridis",
+                         marker=".", marker_inf="x"):
+    """Overlay training points on a getdist triangle plot
+    (reference: gpry/plots.py:556)."""
+    import matplotlib.pyplot as plt
+    d = gpr.d
+    X, y = gpr.X_train, gpr.y_train
+    Xinf = gpr.X_train_infinite
+    for i in range(d):
+        for j in range(i):
+            ax = gdplot.subplots[i, j]
+            if ax is None:
+                continue
+            sc = ax.scatter(X[:, j], X[:, i], c=y, cmap=colormap, s=8,
+                            marker=marker)
+            if len(Xinf):
+                ax.scatter(Xinf[:, j], Xinf[:, i], c="k", s=8,
+                           marker=marker_inf)
+    del plt, sc
+    return gdplot
+
+
+def plot_distance_distribution(gpr, samples_dict, save=None, show=False):
+    """
+    Histogram of Mahalanobis distances of training points under the MC
+    sample's Gaussian approximation, against chi2 expectation
+    (reference: gpry/plots.py:958).
+    """
+    from scipy.stats import chi2
+    from gpry_tpu.utils.tools import mean_covmat_from_samples
+    plt = _plt()
+    X = np.asarray(samples_dict["X"])
+    w = np.asarray(samples_dict.get("weights", np.ones(len(X))))
+    mean, cov = mean_covmat_from_samples(X, w)
+    inv = np.linalg.inv(cov)
+    diff = gpr.X_train - mean
+    dist = np.sqrt(np.einsum("ij,jk,ik->i", diff, inv, diff))
+    d = gpr.d
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.hist(dist, bins=30, density=True, alpha=0.6,
+            label="training points")
+    grid = np.linspace(0, max(dist.max(), 5), 200)
+    ax.plot(grid, 2 * grid * chi2.pdf(grid**2, d), "k--",
+            label=rf"$\chi_{{{d}}}$ expectation")
+    ax.set_xlabel("Mahalanobis distance (std)")
+    ax.legend()
+    return _finish(fig, save, show)

@@ -1,0 +1,633 @@
+"""
+The Runner: the user-facing active-learning driver.
+
+Reference surface: gpry/run.py (1935 LoC).  Same API and loop structure —
+initial truth sampling, then acquire / evaluate / fit / check-convergence
+until converged or budget exhausted, then a final MC run on the surrogate —
+with the TPU-native division of labor: the host runs only this outer loop,
+truth evaluation and I/O; every numeric phase (acquisition optimization,
+GP fits, convergence MC) is a batched jitted device computation.
+
+Defaults follow gpry/run.py:531-537: n_initial=3d, max_initial=30d^1.5,
+max_total=70d^1.5, n_points_per_acq=d, fit_full_every=2*sqrt(d) (full
+multi-restart fit), fit_simple_every=1.
+"""
+
+import os
+import warnings
+from copy import deepcopy
+
+import numpy as np
+
+from gpry_tpu import io as gio
+from gpry_tpu.acquisition.base import GenericGPAcquisition
+from gpry_tpu.acquisition.batch_optimizer import BatchOptimizer
+from gpry_tpu.acquisition.nora import NORA
+from gpry_tpu.convergence import (ConvergenceCheckError,
+                                  ConvergenceCriterion, CorrectCounter,
+                                  DontConverge, GaussianKL, TrainAlignment,
+                                  construct_criterion)
+from gpry_tpu.models.gp import GaussianProcessRegressor
+from gpry_tpu.models.preprocessing import Normalize_bounds, Normalize_y
+from gpry_tpu.parallel import TruthExecutor, get_random_generator
+from gpry_tpu.progress import Progress, Timer, TimerCounter
+from gpry_tpu.acquisition import proposal as proposal_module
+from gpry_tpu.truth import get_truth
+from gpry_tpu.utils.tools import (check_candidates, credibility_of_nstd,
+                                  gaussian_distance, get_Xnumber, kl_norm,
+                                  mean_covmat_from_samples)
+
+_VERBOSITY_ERROR, _VERBOSITY_WARN, _VERBOSITY_INFO = 1, 2, 3
+
+
+class Runner:
+    """
+    Drives the full GP-surrogate characterization of a log-posterior
+    (reference: gpry/run.py:36-197 for the argument documentation).
+    """
+
+    def __init__(self, loglike=None, bounds=None, ref_bounds=None,
+                 params=None, gpr="RBF", gp_acquisition="LogExp",
+                 initial_proposer="reference", convergence_criterion=None,
+                 callback=None, callback_is_MPI_aware=False, options=None,
+                 checkpoint=None, load_checkpoint=None, seed=None, mc=None,
+                 plots=False, verbose=3, truth_executor="serial"):
+        self.verbose = verbose
+        self.rng = get_random_generator(seed)
+        self.callback = callback
+        self.callback_is_MPI_aware = callback_is_MPI_aware
+        self.checkpoint = checkpoint
+        self.plots = plots
+        self._mc_options = self._construct_mc_options(mc)
+        self.last_mc_result = None
+        self.fiducial_point = None
+        self.fiducial_MC = None
+        self.has_converged = False
+        self.current_iteration = 0
+
+        # -- checkpoint resume -------------------------------------------------
+        resuming = False
+        if checkpoint is not None:
+            if load_checkpoint not in ("resume", "overwrite"):
+                raise ValueError(
+                    "When a checkpoint path is given, load_checkpoint must "
+                    "be 'resume' or 'overwrite'.")
+            if load_checkpoint == "resume":
+                found = gio.check_checkpoint(checkpoint)
+                resuming = bool(np.all(found))
+                if np.any(found) and not resuming:
+                    raise RuntimeError(
+                        f"Incomplete checkpoint at {checkpoint}: found "
+                        f"{found}. Delete it or use 'overwrite'.")
+
+        if resuming:
+            self.log("Resuming from checkpoint...", _VERBOSITY_INFO)
+            (self.truth, self.gpr, self.acquisition,
+             self.convergence_criterion, self.options,
+             self.progress) = gio.read_checkpoint(checkpoint)
+            if loglike is not None and not callable(
+                    getattr(self.truth, "_loglike_orig", None)):
+                self.truth = get_truth(loglike, bounds=bounds,
+                                       params=params, ref_bounds=ref_bounds)
+            self._load_options(self.options)
+        else:
+            if loglike is None:
+                raise ValueError("'loglike' is required unless resuming.")
+            self.truth = get_truth(loglike, bounds=bounds, params=params,
+                                   labels=None, ref_bounds=ref_bounds)
+            self.options = self._construct_options(options)
+            self._load_options(self.options)
+            self.gpr = self._construct_gpr(gpr)
+            self.acquisition = self._construct_gp_acquisition(gp_acquisition)
+            self.initial_proposer = self._construct_initial_proposer(
+                initial_proposer)
+            self.convergence_criterion = \
+                self._construct_convergence_criterion(convergence_criterion)
+            self.progress = Progress()
+        if not resuming:
+            self.initial_proposer = getattr(self, "initial_proposer", None) \
+                or self._construct_initial_proposer(initial_proposer)
+        else:
+            self.initial_proposer = self._construct_initial_proposer(
+                initial_proposer)
+        self.executor = TruthExecutor(self.truth, mode=truth_executor)
+        self._resumed = resuming
+
+    # -------------------------------------------------------------- logging
+
+    def log(self, msg, level=_VERBOSITY_INFO):
+        if self.verbose >= level:
+            print(msg)
+
+    def banner(self, msg):
+        self.log("+" + "=" * 70 + "\n| " + msg + "\n+" + "=" * 70)
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def d(self):
+        return self.truth.d
+
+    @property
+    def model(self):
+        """Cobaya Model, if the truth wraps one (API parity)."""
+        return getattr(self.truth, "model", None)
+
+    @property
+    def n_total_left(self):
+        return self.max_total - self.gpr.n_total
+
+    @property
+    def n_finite_left(self):
+        return self.max_finite - self.gpr.n
+
+    # ------------------------------------------------------------ construction
+
+    def _construct_options(self, options):
+        """Defaults from gpry/run.py:521-537."""
+        options = dict(options or {})
+        d = self.d
+        getn = lambda key, default: get_Xnumber(
+            options.get(key, default), "d", d, dtype=int, varname=key)
+        out = {
+            "n_initial": getn("n_initial", "3d"),
+            "max_initial": getn("max_initial", "30d1.5"),
+            "n_points_per_acq": getn("n_points_per_acq", "d"),
+            "fit_full_every": get_Xnumber(
+                options.get("fit_full_every", 2 * np.sqrt(d)), "d", d,
+                dtype=lambda x: int(np.ceil(x)), varname="fit_full_every"),
+            "fit_simple_every": getn("fit_simple_every", 1),
+            "n_resamples_before_giveup":
+                int(options.get("n_resamples_before_giveup", 2)),
+        }
+        if "max_total" in options:
+            out["max_total"] = getn("max_total", None)
+        else:
+            # default: 70 d^1.5, or max_initial if that is larger
+            # (reference: gpry/run.py:533 docstring)
+            out["max_total"] = max(getn("max_total", "70d1.5"),
+                                   out["max_initial"])
+        out["max_finite"] = getn("max_finite", out["max_total"])
+        return out
+
+    def _load_options(self, options):
+        self.n_initial = options["n_initial"]
+        self.max_initial = options["max_initial"]
+        self.max_total = options["max_total"]
+        self.max_finite = options["max_finite"]
+        self.n_points_per_acq = options["n_points_per_acq"]
+        self.fit_full_every = options["fit_full_every"]
+        self.fit_simple_every = options["fit_simple_every"]
+        self.n_resamples_before_giveup = \
+            options["n_resamples_before_giveup"]
+        if self.n_initial <= 0:
+            raise ValueError("n_initial must be > 0.")
+        if self.max_initial < self.n_initial:
+            raise ValueError("max_initial must be >= n_initial.")
+
+    def _construct_gpr(self, gpr):
+        """Reference defaults: gpry/run.py:306-355 (n_restarts=10+2d)."""
+        if isinstance(gpr, GaussianProcessRegressor):
+            return gpr
+        bounds = self.truth.prior_bounds
+        if isinstance(gpr, str):
+            gpr = {"kernel": gpr}
+        if not isinstance(gpr, dict):
+            raise ValueError(f"Cannot construct GPR from {gpr!r}.")
+        kwargs = dict(gpr)
+        kwargs.setdefault("kernel", "RBF")
+        kwargs.setdefault("n_restarts_optimizer", 10 + 2 * self.d)
+        kwargs.setdefault("preprocessing_X", Normalize_bounds(bounds))
+        kwargs.setdefault("preprocessing_y", Normalize_y())
+        kwargs.setdefault("bounds", bounds)
+        kwargs.setdefault("random_state", self.rng)
+        kwargs.setdefault("verbose", self.verbose)
+        self._gpr_fit_restarts = kwargs["n_restarts_optimizer"]
+        return GaussianProcessRegressor(**kwargs)
+
+    def _construct_gp_acquisition(self, spec):
+        """Reference: gpry/run.py:357-404 (zeta_scaling=0.85 default)."""
+        if isinstance(spec, GenericGPAcquisition):
+            return spec
+        bounds = self.truth.prior_bounds
+        if isinstance(spec, str):
+            # Acquisition-function name -> BatchOptimizer with it, or an
+            # engine name.
+            if spec.lower() in ("batchoptimizer", "nora"):
+                spec = {spec: {}}
+            else:
+                spec = {"BatchOptimizer": {"acq_func": spec}}
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise ValueError(f"Cannot construct acquisition from {spec!r}.")
+        name = list(spec)[0]
+        kwargs = dict(spec[name] or {})
+        kwargs.setdefault("zeta_scaling", 0.85)
+        kwargs.setdefault("verbose", self.verbose)
+        cls = {"batchoptimizer": BatchOptimizer, "nora": NORA}.get(
+            name.lower())
+        if cls is None:
+            raise ValueError(f"Unknown acquisition engine '{name}'.")
+        if cls is NORA:
+            kwargs.setdefault("rng", self.rng)
+        return cls(bounds, **kwargs)
+
+    def _construct_initial_proposer(self, spec):
+        """Reference: gpry/run.py:406-444."""
+        bounds = self.truth.prior_bounds
+        if isinstance(spec, proposal_module.Proposer):
+            return spec
+        if isinstance(spec, str):
+            spec = {spec: {}}
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise ValueError(f"Cannot construct proposer from {spec!r}.")
+        name = list(spec)[0].lower()
+        kwargs = dict(spec[list(spec)[0]] or {})
+        if name == "reference":
+            return proposal_module.ReferenceProposer(
+                bounds, truth=self.truth, **kwargs)
+        if name == "prior":
+            return proposal_module.PriorProposer(
+                bounds, truth=self.truth, **kwargs)
+        if name == "uniform":
+            return proposal_module.UniformProposer(bounds, **kwargs)
+        if name == "meancov":
+            return proposal_module.MeanCovProposer(bounds, **kwargs)
+        raise ValueError(f"Unknown initial proposer '{name}'.")
+
+    def _construct_convergence_criterion(self, spec):
+        """
+        Defaults (reference: gpry/run.py:446-457): CorrectCounter for
+        BatchOptimizer; CorrectCounter + GaussianKL + TrainAlignment for
+        NORA.
+        """
+        bounds = self.truth.prior_bounds
+        if spec is False:
+            return [DontConverge(bounds, {})]
+        if spec is None:
+            criteria = [CorrectCounter(bounds, {"policy": "s"})]
+            if isinstance(self.acquisition, NORA):
+                criteria += [
+                    GaussianKL(bounds, {"policy": "s"}),
+                    TrainAlignment(bounds, {"policy": "n"}),
+                ]
+            return criteria
+        if isinstance(spec, ConvergenceCriterion):
+            return [spec]
+        if isinstance(spec, (list, tuple)):
+            return [construct_criterion(s, bounds) for s in spec]
+        return [construct_criterion(spec, bounds)]
+
+    def _construct_mc_options(self, mc):
+        """Reference: gpry/run.py:506-519."""
+        if mc is None:
+            return {"sampler": "nested", "options": {}}
+        if isinstance(mc, str):
+            return {"sampler": mc, "options": {}}
+        if isinstance(mc, dict):
+            if len(mc) == 1 and list(mc)[0] not in ("sampler", "options"):
+                name = list(mc)[0]
+                return {"sampler": name, "options": dict(mc[name] or {})}
+            return {"sampler": mc.get("sampler", "nested"),
+                    "options": dict(mc.get("options") or {})}
+        raise ValueError(f"Cannot parse mc spec {mc!r}.")
+
+    # ---------------------------------------------------------------- the loop
+
+    def run(self):
+        """
+        The active-learning loop (reference: gpry/run.py:776-1061).
+        """
+        if not self._resumed and self.gpr.n_total == 0:
+            self.do_initial_training()
+            self._save_checkpoint()
+        n_iterations_without_acceptance = 0
+        self.has_converged = False
+        while (self.n_total_left > 0 and self.n_finite_left > 0
+               and not self.has_converged):
+            self.current_iteration += 1
+            it = self.current_iteration
+            self.progress.add_iteration()
+            self.progress.add_current_n_truth(self.gpr.n_total, self.gpr.n)
+            self.banner(f"Iteration {it} "
+                        f"(n_total={self.gpr.n_total}, n_finite={self.gpr.n})")
+
+            # [ACQUISITION]
+            n_points = min(self.n_points_per_acq, self.n_total_left)
+            with TimerCounter(self.gpr) as timer_acq:
+                new_X, y_pred, acq_vals = self.acquisition.multi_add(
+                    self.gpr, n_points=n_points, bounds=self.gpr.trust_bounds,
+                    rng=self.rng)
+                dup = check_candidates(self.gpr.X_train, new_X)
+                new_X, y_pred = new_X[~dup], np.asarray(y_pred)[~dup]
+            self.progress.add_acquisition(timer_acq)
+            self.log(f"[ACQUISITION] {len(new_X)} points proposed "
+                     f"({timer_acq.time:.3g}s)", _VERBOSITY_INFO)
+            if len(new_X) < max(1, n_points // 2):
+                n_iterations_without_acceptance += 1
+                if n_iterations_without_acceptance > \
+                        self.n_resamples_before_giveup:
+                    self.log("Too few acquired points repeatedly; stopping.",
+                             _VERBOSITY_WARN)
+                    break
+            else:
+                n_iterations_without_acceptance = 0
+            if len(new_X) == 0:
+                continue
+
+            # [EVALUATION]
+            with Timer() as timer_truth:
+                new_y = self.executor.logp_batch(new_X)
+            self.progress.add_truth(timer_truth, n_evals=len(new_X))
+            self.log(f"[EVALUATION] truth at {len(new_X)} points "
+                     f"({timer_truth.time:.3g}s)", _VERBOSITY_INFO)
+
+            # [FIT]
+            with TimerCounter(self.gpr) as timer_fit:
+                self._fit_gpr(new_X, new_y)
+            self.progress.add_fit(timer_fit)
+            self.log(f"[FIT] GPR updated, n={self.gpr.n} "
+                     f"({timer_fit.time:.3g}s)", _VERBOSITY_INFO)
+
+            # callback
+            if self.callback is not None:
+                self.callback(self)
+
+            # [CONVERGENCE]
+            with TimerCounter(self.gpr) as timer_conv:
+                self.has_converged, conv_value = \
+                    self._check_convergence(new_X, new_y, y_pred)
+            self.progress.add_convergence(timer_conv, conv_value)
+            self.log(f"[CONVERGENCE] value={conv_value:.3g} "
+                     f"converged={self.has_converged} "
+                     f"({timer_conv.time:.3g}s)", _VERBOSITY_INFO)
+
+            self.update_mean_cov()
+
+            # [MC+DIAGNOSIS] on declared convergence
+            if self.has_converged:
+                self.log("[MC+DIAGNOSIS] convergence declared; running MC "
+                         "and diagnosis...", _VERBOSITY_INFO)
+                self.generate_mc_sample()
+                if not self.diagnose_last_mc_sample():
+                    self.log("Diagnosis failed: convergence vetoed.",
+                             _VERBOSITY_WARN)
+                    self.has_converged = False
+
+            self.progress.mpi_sync()
+            self._save_checkpoint()
+            if self.plots:
+                try:
+                    self.plot_progress()
+                except Exception as excpt:  # plots must never kill the run
+                    self.log(f"Progress plotting failed: {excpt}",
+                             _VERBOSITY_WARN)
+
+        if not self.has_converged:
+            self.log("Budget exhausted (or stopped) without convergence; "
+                     "running final MC anyway.", _VERBOSITY_WARN)
+            if self.last_mc_result is None:
+                try:
+                    self.generate_mc_sample()
+                    self.diagnose_last_mc_sample()
+                except Exception as excpt:
+                    self.log(f"Final MC failed: {excpt}", _VERBOSITY_ERROR)
+        return self
+
+    def do_initial_training(self):
+        """
+        Draw initial points until n_initial finite truth values
+        (reference: gpry/run.py:1063-1198).
+        """
+        n_finite, n_tried = 0, 0
+        X_all, y_all = [], []
+        batch = max(self.n_initial, 2)
+        while n_finite < self.n_initial:
+            if n_tried >= self.max_initial:
+                raise RuntimeError(
+                    f"Could not find {self.n_initial} finite initial points "
+                    f"within max_initial={self.max_initial} evaluations. "
+                    "Try decreasing your prior volume.")
+            X = np.atleast_2d(self.initial_proposer.get_batch(
+                batch, self.rng))
+            y = self.executor.logp_batch(X)
+            X_all.append(X)
+            y_all.append(y)
+            n_tried += len(X)
+            y_cat = np.concatenate(y_all)
+            # count under the same thresholding the GPR will apply
+            n_finite = int(np.sum(
+                np.isfinite(y_cat)
+                & (y_cat >= np.nanmax(y_cat) - self.gpr._diff_threshold)))
+            self.log(f"[INITIAL] {n_finite}/{self.n_initial} finite points "
+                     f"after {n_tried} evaluations", _VERBOSITY_INFO)
+        X_init = np.vstack(X_all)
+        y_init = np.concatenate(y_all)
+        self.gpr.append_to_data(
+            X_init, y_init,
+            fit_gpr={"n_restarts": self._fit_restarts()})
+
+    def _fit_restarts(self):
+        return getattr(self, "_gpr_fit_restarts", None) or \
+            (10 + 2 * self.d)
+
+    def _fit_gpr(self, new_X, new_y):
+        """
+        Fit cadence (reference: gpry/run.py:1238-1301): full multi-restart
+        fit every ``fit_full_every`` iterations, single-start ("simple")
+        fit every ``fit_simple_every``, plain factorization otherwise.
+        """
+        it = self.current_iteration
+        if self.fit_full_every and it % self.fit_full_every == 0:
+            fit = {"n_restarts": self._fit_restarts()}
+        elif self.fit_simple_every and it % self.fit_simple_every == 0:
+            fit = "simple"
+        else:
+            fit = False
+        self.gpr.append_to_data(new_X, new_y, fit_gpr=fit)
+
+    def _check_convergence(self, new_X, new_y, y_pred):
+        """
+        Evaluate all criteria and combine by policy
+        (reference: gpry/run.py:1303-1333).
+        """
+        necessary_ok, any_sufficient, has_sufficient = True, False, False
+        value = np.nan
+        for cc in self.convergence_criterion:
+            try:
+                converged = cc.is_converged(
+                    self.gpr, new_X=new_X, new_y=new_y, pred_y=y_pred,
+                    acquisition=self.acquisition)
+            except ConvergenceCheckError:
+                converged = False
+            if np.isnan(value):
+                value = cc.last_value
+            if cc.is_monitor:
+                continue
+            if cc.is_sufficient:
+                has_sufficient = True
+                any_sufficient = any_sufficient or converged
+            if cc.is_necessary and not converged:
+                necessary_ok = False
+        converged_total = necessary_ok and \
+            (any_sufficient if has_sufficient else True)
+        return bool(converged_total), value
+
+    def update_mean_cov(self):
+        """
+        Pull the current mean/cov estimate from the acquisition engine or
+        convergence criteria (reference: gpry/run.py:1335-1352).
+        """
+        self.mean, self.cov = None, None
+        acq_mean = getattr(self.acquisition, "mean", None)
+        if acq_mean is not None:
+            self.mean = acq_mean
+            self.cov = self.acquisition.cov
+            return
+        for cc in self.convergence_criterion:
+            if getattr(cc, "mean", None) is not None:
+                self.mean, self.cov = cc.mean, cc.cov
+                return
+
+    # ------------------------------------------------------------- MC sampling
+
+    def generate_mc_sample(self, sampler=None, output=None, add_options=None,
+                           rng=None):
+        """
+        MC-sample the surrogate (reference: gpry/run.py:1594-1714).
+        Returns the samples dict and stores it as ``last_mc_result``.
+        """
+        from gpry_tpu.mc.samples import mc_sample_from_gp, write_samples_txt
+        sampler = sampler or self._mc_options["sampler"]
+        options = dict(self._mc_options["options"])
+        options.update(add_options or {})
+        result = mc_sample_from_gp(
+            self.gpr, bounds=self.truth.prior_bounds, sampler=sampler,
+            rng=rng or self.rng, options=options, verbose=self.verbose)
+        self.last_mc_result = result
+        out_path = output
+        if out_path is None and self.checkpoint is not None:
+            out_path = os.path.join(self.checkpoint, "chains",
+                                    "mc_samples.txt")
+        if out_path:
+            write_samples_txt(result, out_path, params=self.truth.params)
+        return result
+
+    def last_mc_samples(self, as_getdist=False):
+        """Last MC samples as (X, weights, logpost), or getdist MCSamples
+        (reference: gpry/run.py:1716-1745)."""
+        if self.last_mc_result is None:
+            raise ValueError("No MC sample generated yet.")
+        if as_getdist:
+            from gpry_tpu.mc.samples import samples_dict_to_getdist
+            return samples_dict_to_getdist(self.last_mc_result,
+                                           params=self.truth.params)
+        r = self.last_mc_result
+        return r["X"], r["weights"], r["logpost"]
+
+    def diagnose_last_mc_sample(self):
+        """
+        Post-MC diagnosis (reference: gpry/run.py:1747-1784): (1) the
+        training mean must lie within 0.5 central credibility of the MC
+        sample; (2) KL(acquisition Gaussian || MC Gaussian) < d.
+        Failure vetoes convergence.
+        """
+        if self.last_mc_result is None:
+            return True
+        X, w = self.last_mc_result["X"], self.last_mc_result["weights"]
+        if len(X) < 2 * self.d:
+            return False
+        mean_mc, cov_mc = mean_covmat_from_samples(X, w)
+        ok = True
+        try:
+            from gpry_tpu.utils.tools import mean_covmat_from_evals
+            mean_train = mean_covmat_from_evals(
+                self.gpr.X_train, self.gpr.y_train)[0]
+            dist = gaussian_distance(mean_train[None], mean_mc, cov_mc)[0]
+            cred = credibility_of_nstd(dist, self.d)
+            if not (0 <= cred < 0.5):
+                self.log(f"[DIAGNOSIS] training-mean credibility {cred:.3f}"
+                         " >= 0.5", _VERBOSITY_WARN)
+                ok = False
+        except Exception as excpt:
+            self.log(f"[DIAGNOSIS] alignment check failed: {excpt}",
+                     _VERBOSITY_WARN)
+        if ok and self.mean is not None and self.cov is not None:
+            try:
+                kl = kl_norm(self.mean, self.cov, mean_mc, cov_mc)
+                if not (kl < self.d):
+                    self.log(f"[DIAGNOSIS] KL(acq||mc)={kl:.3g} >= d",
+                             _VERBOSITY_WARN)
+                    ok = False
+            except Exception as excpt:
+                self.log(f"[DIAGNOSIS] KL check failed: {excpt}",
+                         _VERBOSITY_WARN)
+        return ok
+
+    # ------------------------------------------------------------- fiducials
+
+    def set_fiducial_point(self, X, logpost=None):
+        """Store a fiducial point for plots (reference: gpry/run.py:1354)."""
+        self.fiducial_point = np.atleast_1d(np.asarray(X, dtype=float))
+        self.fiducial_logpost = logpost
+
+    def set_fiducial_MC(self, X, weights=None, logpost=None):
+        """Store a fiducial MC sample for plots
+        (reference: gpry/run.py:1400)."""
+        self.fiducial_MC = {
+            "X": np.atleast_2d(X),
+            "weights": weights if weights is not None
+            else np.ones(len(np.atleast_2d(X))),
+            "logpost": logpost,
+        }
+
+    # ------------------------------------------------------------ checkpointing
+
+    def _save_checkpoint(self):
+        if self.checkpoint is None:
+            return
+        try:
+            gio.save_checkpoint(
+                self.checkpoint, self.truth, self.gpr, self.acquisition,
+                self.convergence_criterion, self.options, self.progress)
+        except Exception as excpt:
+            self.log(f"Checkpoint saving failed: {excpt}", _VERBOSITY_WARN)
+
+    # ------------------------------------------------------------------ plots
+
+    def plot_progress(self, timing=True, convergence=True, trace=False,
+                      slices=False, ext="png"):
+        """Progress plots into <checkpoint>/images
+        (reference: gpry/run.py:1470-1592)."""
+        from gpry_tpu import plots as gplots
+        path = os.path.join(self.checkpoint or ".", "images")
+        os.makedirs(path, exist_ok=True)
+        if timing:
+            self.progress.plot_timing(
+                save=os.path.join(path, f"timing.{ext}"))
+        if convergence:
+            gplots.plot_convergence(
+                self.convergence_criterion,
+                save=os.path.join(path, f"convergence.{ext}"))
+        if trace:
+            gplots.plot_trace(self.gpr,
+                              save=os.path.join(path, f"trace.{ext}"))
+        if slices:
+            gplots.plot_slices(self.truth, self.gpr,
+                               save=os.path.join(path, f"slices.{ext}"))
+
+    def plot_mc(self, add_training=True, output=None):
+        """Corner plot of the last MC sample (reference: gpry/run.py:1786)."""
+        from gpry_tpu import plots as gplots
+        if self.last_mc_result is None:
+            raise ValueError("No MC sample generated yet.")
+        return gplots.plot_corner(
+            self.last_mc_result, params=self.truth.params,
+            gpr=self.gpr if add_training else None, save=output)
+
+    def plot_distance_distribution(self, output=None):
+        """Reference: gpry/run.py:1866."""
+        from gpry_tpu import plots as gplots
+        if self.last_mc_result is None:
+            raise ValueError("No MC sample generated yet.")
+        return gplots.plot_distance_distribution(
+            self.gpr, self.last_mc_result, save=output)

@@ -1,0 +1,121 @@
+"""
+Synthetic likelihood fixtures, mirroring the reference's test models
+(reference: tests/model_generator.py:33-291) as plain callables + bounds
+(no Cobaya dependency).
+"""
+
+import numpy as np
+from scipy.stats import invwishart
+
+
+class SyntheticModel:
+    """A log-likelihood callable with bounds and (if known) mean/cov."""
+
+    def __init__(self, loglike, bounds, mean=None, cov=None, name=None):
+        self.loglike = loglike
+        self.bounds = np.asarray(bounds, dtype=float)
+        self.mean = mean
+        self.cov = cov
+        self.name = name or "synthetic"
+
+    @property
+    def d(self):
+        return self.bounds.shape[0]
+
+    def __call__(self, x):
+        return self.loglike(np.asarray(x))
+
+
+def random_gaussian(d=2, prior_size_in_std=5.0, rng=None):
+    """Random correlated Gaussian (reference: tests/model_generator.py:33)."""
+    rng = rng if isinstance(rng, np.random.Generator) \
+        else np.random.default_rng(rng)
+    std = rng.uniform(0.5, 2.0, size=d)
+    cov = invwishart.rvs(df=d + 4, scale=np.diag(std**2) * (d + 4),
+                         random_state=np.random.RandomState(
+                             rng.integers(2**31)))
+    cov = np.atleast_2d(cov)
+    mean = rng.uniform(-1, 1, size=d)
+    inv = np.linalg.inv(cov)
+    stds = np.sqrt(np.diag(cov))
+    bounds = np.stack([mean - prior_size_in_std * stds,
+                       mean + prior_size_in_std * stds], axis=1)
+
+    def loglike(x):
+        diff = np.atleast_1d(x) - mean
+        return float(-0.5 * diff @ inv @ diff)
+
+    return SyntheticModel(loglike, bounds, mean=mean, cov=cov,
+                          name=f"gaussian_d{d}")
+
+
+def curved_degeneracy(rng=None):
+    """Curved (banana-like) quartic degeneracy
+    (reference: tests/model_generator.py:113)."""
+
+    def loglike(x):
+        x_, y_ = np.atleast_1d(x)
+        return float(-(10 * (0.45 - x_)) ** 2 / 4
+                     - (20 * (y_ / 4 - x_ ** 4)) ** 2)
+
+    bounds = np.array([[-0.5, 1.5], [-0.5, 2.0]])
+    return SyntheticModel(loglike, bounds, name="curved_degeneracy")
+
+
+def ring(mean_radius=1.0, std=0.05, offset=0.0, rng=None):
+    """Gaussian ring (reference: tests/model_generator.py:143)."""
+
+    def loglike(x):
+        x_, y_ = np.atleast_1d(x)
+        r = np.sqrt((x_ - offset) ** 2 + y_ ** 2)
+        return float(-0.5 * ((r - mean_radius) / std) ** 2)
+
+    bounds = np.array([[-1.5, 1.5], [-1.5, 1.5]]) + offset
+    return SyntheticModel(loglike, bounds, name="ring")
+
+
+def himmelblau(rng=None):
+    """Himmelblau's function as a log-likelihood
+    (reference: tests/model_generator.py:175)."""
+
+    def loglike(x):
+        x_, y_ = np.atleast_1d(x)
+        return float(-((x_**2 + y_ - 11) ** 2 + (x_ + y_**2 - 7) ** 2))
+
+    bounds = np.array([[-6.0, 6.0], [-6.0, 6.0]])
+    return SyntheticModel(loglike, bounds, name="himmelblau")
+
+
+def rosenbrock(a=1.0, b=100.0, rng=None):
+    """Rosenbrock log-likelihood (reference: tests/model_generator.py:217)."""
+
+    def loglike(x):
+        x_, y_ = np.atleast_1d(x)
+        return float(-((a - x_) ** 2 + b * (y_ - x_**2) ** 2) / 20)
+
+    bounds = np.array([[-4.0, 4.0], [-2.0, 10.0]])
+    return SyntheticModel(loglike, bounds, name="rosenbrock")
+
+
+def spike(rng=None):
+    """Narrow spike on a broad base
+    (reference: tests/model_generator.py:258)."""
+
+    def loglike(x):
+        x_ = np.atleast_1d(x)[0]
+        return float(np.log(1e-4 + np.exp(-0.5 * (x_ / 0.01) ** 2)))
+
+    bounds = np.array([[-1.0, 1.0]])
+    return SyntheticModel(loglike, bounds, name="spike")
+
+
+def kl_truth_gaussian(samples_X, weights, mean_true, cov_true):
+    """
+    Weighted-MC estimate of KL(sample-Gaussian || truth) in both directions,
+    as the e2e accuracy gate (reference: tests/test_pipeline.py:64-88,
+    tests/grid.py:106-113).
+    """
+    from gpry_tpu.utils.tools import kl_norm, mean_covmat_from_samples
+    mean_mc, cov_mc = mean_covmat_from_samples(samples_X, weights)
+    return max(kl_norm(mean_mc, cov_mc, mean_true, cov_true),
+               kl_norm(mean_true, cov_true, mean_mc, cov_mc))

@@ -1,0 +1,139 @@
+"""
+Acquisition-layer tests: LogExp values/gradients vs the reference formula,
+BatchOptimizer optimization quality, RankedPool Kriging-believer ordering.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from gpry_tpu.acquisition import BatchOptimizer, LogExp, NORA, RankedPool
+from gpry_tpu.acquisition.base import append_lie
+from gpry_tpu.models.gp import GaussianProcessRegressor, surrogate_predict
+from gpry_tpu.models.preprocessing import Normalize_bounds, Normalize_y
+
+
+def make_fitted_gpr(rng, d=2, n=25, scale=25.0):
+    bounds = np.array([[0.0, 1.0]] * d)
+    X = rng.uniform(size=(n, d))
+    diff = X - 0.5
+    y = -0.5 * scale * np.sum(diff * diff, axis=1)
+    gpr = GaussianProcessRegressor(
+        bounds=bounds, preprocessing_X=Normalize_bounds(bounds),
+        preprocessing_y=Normalize_y(), n_restarts_optimizer=6,
+        random_state=11)
+    gpr.append_to_data(X, y, fit_gpr={"n_restarts": 6})
+    return gpr
+
+
+def test_logexp_formula():
+    """log A = 2 zeta (mu - y_max) + log sqrt(sigma^2 - sigma_n^2), -inf
+    where sigma^2 <= sigma_n^2 (reference formula,
+    gpry/acquisition_functions.py:1068-1074)."""
+    acq = LogExp(zeta=0.3)
+    mu = jnp.asarray([0.0, -5.0, -np.inf, 2.0])
+    std = jnp.asarray([0.5, 1.0, 1.0, 0.001])
+    y_max, noise = 0.0, 0.01
+    vals = np.asarray(acq.values(mu, std, y_max, noise))
+    expected0 = 2 * 0.3 * (0.0 - 0.0) + 0.5 * np.log(0.5**2 - 0.01**2)
+    expected1 = 2 * 0.3 * (-5.0) + 0.5 * np.log(1.0 - 0.01**2)
+    assert np.isclose(vals[0], expected0)
+    assert np.isclose(vals[1], expected1)
+    assert vals[2] == -np.inf           # non-finite mu
+    assert vals[3] == -np.inf           # sigma below noise
+
+
+def test_logexp_auto_zeta():
+    """zeta = d**-0.85 by default (gpry/acquisition_functions.py:906-934)."""
+    acq = LogExp(dimension=8)
+    assert np.isclose(acq.zeta, 8 ** (-0.85))
+    acq2 = LogExp(dimension=8, zeta_scaling=0.5)
+    assert np.isclose(acq2.zeta, 8 ** (-0.5))
+
+
+def test_batch_optimizer_proposes_good_points(rng):
+    gpr = make_fitted_gpr(rng)
+    engine = BatchOptimizer(gpr.bounds, acq_func={"LogExp": {"dimension": 2}},
+                            random_state=7)
+    X, y_lies, acq_vals = engine.multi_add(gpr, n_points=3, rng=rng)
+    assert X.shape == (3, 2)
+    # all in bounds, finite acquisition, no duplicates
+    assert np.all((X >= 0) & (X <= 1))
+    assert np.all(np.isfinite(acq_vals))
+    assert len(np.unique(X.round(6), axis=0)) == 3
+    # proposals should beat random candidates on the acquisition
+    from gpry_tpu.acquisition.batch_optimizer import _acq_values_gated
+    p = gpr.surrogate_params()
+    rand = rng.uniform(size=(2000, 2))
+    acq_rand = np.asarray(_acq_values_gated(
+        gpr.family, p, engine.acq_func.zeta,
+        float(gpr.noise_level) ** 2, jnp.asarray(rand, p.X.dtype)))
+    assert acq_vals[0] >= np.max(acq_rand) - 0.2
+
+
+def test_ranked_pool_bulk_matches_sequential_conditioning(rng):
+    """The pool head must equal greedy sequential conditioning by hand."""
+    gpr = make_fitted_gpr(rng)
+    p0 = gpr.surrogate_params()
+    noise_var = float(gpr.noise_level) ** 2
+    zeta = 2 ** (-0.85)
+
+    def acq_fn(y, s):
+        var = s * s - noise_var
+        ok = (var > 0) & np.isfinite(y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vals = 2 * zeta * (y - gpr.y_max) + 0.5 * np.log(
+                np.where(ok, var, 1.0))
+        return np.where(ok, vals, -np.inf)
+
+    cand = rng.uniform(size=(500, 2))
+    mu, sd = surrogate_predict(gpr.family, p0, jnp.asarray(cand, p0.X.dtype))
+    mu, sd = np.asarray(mu), np.asarray(sd)
+    pool = RankedPool(3, gpr, acq_fn)
+    pool.add(cand, y=mu, sigma=sd, method="bulk")
+    X_sel, y_sel, acq_sel = pool.get()
+
+    # hand-rolled greedy Kriging-believer
+    p = p0
+    Xr, yr, sr = cand.copy(), mu.copy(), sd.copy()
+    expected = []
+    for i in range(3):
+        if i == 0:
+            a = acq_fn(yr, sr)
+        else:
+            _, s_c = surrogate_predict(gpr.family, p,
+                                       jnp.asarray(Xr, p.X.dtype))
+            a = acq_fn(yr, np.asarray(s_c))
+        j = int(np.argmax(a))
+        expected.append(Xr[j])
+        p = append_lie(gpr.family, p, jnp.asarray(Xr[j][None], p.X.dtype),
+                       jnp.asarray([yr[j]], p.X.dtype))
+        keep = np.ones(len(yr), dtype=bool)
+        keep[j] = False
+        Xr, yr, sr = Xr[keep], yr[keep], sr[keep]
+    assert np.allclose(X_sel, np.array(expected))
+    # conditioned acq must be non-increasing down the pool
+    assert np.all(np.diff(acq_sel) <= 1e-9)
+
+
+def test_nora_multi_add(rng):
+    gpr = make_fitted_gpr(rng)
+    engine = NORA(gpr.bounds, acq_func={"LogExp": {"dimension": 2}},
+                  nlive_max=100, num_repeats=10, rng=rng, verbose=1)
+    X, y_lies, acq_vals = engine.multi_add(gpr, n_points=3, rng=rng)
+    assert X.shape[1] == 2 and 1 <= len(X) <= 3
+    assert np.all((X >= 0) & (X <= 1))
+    assert np.all(np.isfinite(acq_vals))
+    # mean/cov estimates derived from the NS sample
+    assert engine.mean is not None and engine.mean.shape == (2,)
+    assert engine.cov.shape == (2, 2)
+    # second call reuses + reweights the sample (no fresh NS unless due)
+    X2, _, _ = engine.multi_add(gpr, n_points=2, rng=rng)
+    # proposed points are excluded from the reused sample
+    for x in X2:
+        assert not np.any(np.all(np.isclose(X, x), axis=1))

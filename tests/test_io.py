@@ -1,0 +1,58 @@
+"""
+Checkpoint/resume integration (mirrors reference tests/test_io.py:47-63).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+from model_generator import random_gaussian  # noqa: E402
+
+from gpry_tpu import io as gio  # noqa: E402
+from gpry_tpu.run import Runner  # noqa: E402
+
+
+@pytest.mark.parametrize("criterion", ["CorrectCounter", "DontConverge"])
+def test_checkpoint_resume(tmp_path, criterion):
+    m = random_gaussian(d=2, rng=3)
+    ckpt = str(tmp_path / "ckpt")
+    options = {"max_total": 20, "max_initial": 12} \
+        if criterion == "DontConverge" else {}
+    runner = Runner(m.loglike, bounds=m.bounds, seed=4, verbose=1,
+                    convergence_criterion=criterion, options=options,
+                    checkpoint=ckpt, load_checkpoint="overwrite")
+    runner.run()
+    n_before = runner.gpr.n
+    X_train = np.copy(runner.gpr.X_train)
+    y_train = np.copy(runner.gpr.y_train)
+    y_at_train = runner.gpr.predict(X_train[:3])
+    del runner
+
+    # all six files present
+    assert np.all(gio.check_checkpoint(ckpt))
+
+    # reload through the Runner resume path
+    runner2 = Runner(m.loglike, bounds=m.bounds, seed=4, verbose=1,
+                     checkpoint=ckpt, load_checkpoint="resume")
+    assert runner2.gpr.n == n_before
+    assert np.allclose(runner2.gpr.X_train, X_train)
+    assert np.allclose(runner2.gpr.y_train, y_train)
+    # prediction at stored training points reproduces stored values
+    assert np.allclose(runner2.gpr.predict(X_train[:3]), y_at_train,
+                       atol=1e-10)
+
+
+def test_ensure_gpr_roundtrip(tmp_path):
+    m = random_gaussian(d=2, rng=5)
+    ckpt = str(tmp_path / "ckpt2")
+    runner = Runner(m.loglike, bounds=m.bounds, seed=5, verbose=1,
+                    options={"max_total": 15, "max_initial": 10},
+                    convergence_criterion="DontConverge",
+                    checkpoint=ckpt, load_checkpoint="overwrite")
+    runner.run()
+    mu_direct = runner.gpr.predict(runner.gpr.X_train[:2])
+    gpr2 = gio.ensure_gpr(ckpt)
+    assert np.allclose(gpr2.predict(gpr2.X_train[:2]), mu_direct)
