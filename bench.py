@@ -63,8 +63,11 @@ def bench_ours(n_iters=3):
         nora._iter_since_mc = None  # force a fresh NS run each iteration
         t0 = time.perf_counter()
         gpr.fit_gpr_hyperparameters(n_restarts=N_RESTARTS)
+        t_fit = time.perf_counter() - t0
         nora.multi_add(gpr, n_points=N_BATCH)
         times.append(time.perf_counter() - t0)
+        print(f"# iter {i}: fit={t_fit:.2f}s acq={times[-1] - t_fit:.2f}s",
+              file=sys.stderr)
     return float(np.mean(times))
 
 

@@ -58,6 +58,8 @@ def _optimize_restarts(family, p: SurrogateParams, zeta, noise_var_raw,
 
     solve = lambda x0: minimize_lbfgs_bounded(neg_acq, x0, lo, hi,
                                               maxiter=maxiter)
+    # plain vmap over restarts (lax.map chunking crashes the TPU compiler,
+    # see models/gp.py LBFGS_CHUNK note)
     xs, _ = jax.vmap(solve)(x0s)
     vals = _acq_values_gated(family, p, zeta, noise_var_raw, xs)
     return xs, vals
@@ -99,6 +101,13 @@ class BatchOptimizer(GenericGPAcquisition):
             bounds if bounds is not None else self.bounds)
         family = gpr.family
         p = gpr.surrogate_params()
+        # f32 sweeps/ascent on TPU (f64 is emulated ~20x slower and its
+        # L-BFGS graphs stress the compiler); final evals stay accurate
+        # enough for point proposal.
+        on_cpu = all(dev.platform == "cpu" for dev in p.X.devices())
+        if not on_cpu and p.X.dtype == jnp.float64:
+            from gpry_tpu.models.gp import cast_surrogate
+            p = cast_surrogate(p, jnp.float32)
         zeta = getattr(self.acq_func, "zeta", 1.0)
         noise_var_raw = float(np.mean(np.square(gpr.noise_level)))
         lo = jnp.asarray(bounds[:, 0], p.X.dtype)
@@ -112,7 +121,9 @@ class BatchOptimizer(GenericGPAcquisition):
         y_lies = np.empty(n_points)
         acq_out = np.empty(n_points)
 
+        from gpry_tpu.models.gp import LBFGS_CHUNK
         R = max(2, self.n_restarts_optimizer)
+        R = int(np.ceil(R / LBFGS_CHUNK)) * LBFGS_CHUNK  # one chunk width
         for i in range(n_points):
             # --- screening: one batched acq evaluation over proposer draws
             n_screen = min(10 * self.d * R, 4000)

@@ -185,6 +185,20 @@ class Std(AcquisitionFunction):
         return gstd
 
 
+class ExponentialMu(Mu):
+    """exp(mu) (gpry/acquisition_functions.py:620; unused upstream)."""
+
+    def values(self, mu, std, y_max, noise_var):
+        return jnp.exp(mu)
+
+
+class ExponentialStd(Std):
+    """exp(std) - 1 (gpry/acquisition_functions.py:688; unused upstream)."""
+
+    def values(self, mu, std, y_max, noise_var):
+        return jnp.where(jnp.isfinite(mu), jnp.expm1(std), -jnp.inf)
+
+
 class ExpectedImprovement(AcquisitionFunction):
     """Classic EI (gpry/acquisition_functions.py:758; unused upstream)."""
 

@@ -86,7 +86,13 @@ class NORA(GenericGPAcquisition):
 
     def _run_ns(self, gpr):
         from gpry_tpu.mc.samples import surrogate_logp_fn
+        from gpry_tpu.models.gp import cast_surrogate
         p = gpr.surrogate_params()
+        # On TPU, run the NS sweep in float32 (f64 is emulated ~20x slower;
+        # the NS explores the surrogate — f32 accuracy is ample there).
+        on_cpu = all(dev.platform == "cpu" for dev in p.X.devices())
+        if not on_cpu and p.X.dtype == jnp.float64:
+            p = cast_surrogate(p, jnp.float32)
         dt = p.X.dtype
         lo = jnp.asarray(self.bounds[:, 0], dt)
         hi = jnp.asarray(self.bounds[:, 1], dt)

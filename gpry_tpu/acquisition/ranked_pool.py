@@ -65,7 +65,14 @@ class RankedPool:
 
     def _params0(self):
         if self._base_params is None:
-            self._base_params = self._gpr.surrogate_params()
+            import jax.numpy as _jnp
+            from gpry_tpu.models.gp import cast_surrogate
+            p = self._gpr.surrogate_params()
+            # f32 ranking sweeps on TPU (see NORA._run_ns rationale)
+            on_cpu = all(dev.platform == "cpu" for dev in p.X.devices())
+            if not on_cpu and p.X.dtype == _jnp.float64:
+                p = cast_surrogate(p, _jnp.float32)
+            self._base_params = p
         return self._base_params
 
     def _conditioned_params(self, i):
@@ -142,6 +149,8 @@ class RankedPool:
                 _, sd_cond = surrogate_predict(
                     self._family, p, jnp.asarray(X, p.X.dtype))
                 acq_cond = np.asarray(self._acq_func(y, np.asarray(sd_cond)))
+                # f32 conditioning can produce NaN on near-singular appends
+                acq_cond = np.where(np.isnan(acq_cond), -np.inf, acq_cond)
             j = int(np.argmax(acq_cond))
             if not np.isfinite(acq_cond[j]):
                 break

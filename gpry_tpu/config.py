@@ -26,10 +26,12 @@ _X64 = os.environ.get("GPRY_TPU_X64", "1") not in ("0", "false", "False")
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the vmapped-LBFGS and nested-sampler graphs
-# take minutes to compile on TPU; cache them across processes.  Disable with
-# GPRY_TPU_COMP_CACHE=0.
-if os.environ.get("GPRY_TPU_COMP_CACHE", "1") not in ("0", "false"):
+# Persistent compilation cache (OPT-IN via GPRY_TPU_COMP_CACHE=1): caching
+# helps the minutes-long TPU compiles, but on this infrastructure the cache
+# has served CPU AOT executables compiled with mismatched machine features
+# ("+prefer-no-gather ... could lead to SIGILL"), silently corrupting
+# results — so it stays off unless explicitly requested.
+if os.environ.get("GPRY_TPU_COMP_CACHE", "0") in ("1", "true"):
     _cache_dir = os.environ.get(
         "GPRY_TPU_COMP_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "gpry_tpu_xla"))

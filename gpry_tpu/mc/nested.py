@@ -64,29 +64,28 @@ def _slice_chain(logl_fn, params, key, x0, logl0, lstar, chol, num_repeats,
         e = chol @ (nrm / jnp.linalg.norm(nrm))
 
         # Step-out by doubling, capped (directions are covariance-scaled, so
-        # the unit interval is already the right order of magnitude).
-        w0 = jax.random.uniform(k2, dtype=x.dtype)
+        # the unit interval is already the right order of magnitude).  The
+        # endpoint log-densities ride in the carry so the condition does not
+        # re-evaluate the GP.
+        w0 = jax.random.uniform(k2, dtype=x.dtype) * 0.9 + 0.05
         tlo0, thi0 = -w0, 1.0 - w0
 
         def expand(state):
-            tlo, thi, it, calls = state
+            tlo, thi, l_lo, l_hi, it, calls = state
+            tlo = jnp.where(l_lo > lstar, tlo * 2.0, tlo)
+            thi = jnp.where(l_hi > lstar, thi * 2.0, thi)
             l_lo = eval_logl(x + tlo * e)
             l_hi = eval_logl(x + thi * e)
-            grow_lo = l_lo > lstar
-            grow_hi = l_hi > lstar
-            tlo = jnp.where(grow_lo, tlo * 2.0, tlo)
-            thi = jnp.where(grow_hi, thi * 2.0, thi)
-            return tlo, thi, it + 1, calls + 2
+            return tlo, thi, l_lo, l_hi, it + 1, calls + 2
 
         def expand_cond(state):
-            tlo, thi, it, _ = state
-            l_lo = eval_logl(x + tlo * e)
-            l_hi = eval_logl(x + thi * e)
+            tlo, thi, l_lo, l_hi, it, _ = state
             return ((l_lo > lstar) | (l_hi > lstar)) & (it < 6)
 
-        tlo, thi, _, calls = jax.lax.while_loop(
-            expand_cond, expand, (tlo0, thi0, 0, calls + 0))
-        calls = calls + 2  # the two cond evaluations that ended the loop
+        tlo, thi, _, _, _, calls = jax.lax.while_loop(
+            expand_cond, expand,
+            (tlo0, thi0, eval_logl(x + tlo0 * e), eval_logl(x + thi0 * e),
+             0, calls + 2))
 
         # Shrinkage sampling.
         def shrink(state):

@@ -125,15 +125,43 @@ def surrogate_predict_mean(family, p: SurrogateParams, Xq_raw):
     return surrogate_predict(family, p, Xq_raw)[0]
 
 
+def cast_surrogate(p: SurrogateParams, dtype):
+    """
+    Cast a surrogate snapshot to another float dtype (int fields kept).
+    Used to run bulk sweeps (NS, acquisition ranking) in float32 on TPU,
+    where float64 is emulated ~20x slower; the fit/factorization stays
+    float64.
+    """
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, p)
+
+
+# Restart counts are padded up to a multiple of this so the vmapped solves
+# compile for a small set of widths.  NB: plain jax.vmap over the restarts
+# is REQUIRED here — wrapping the solver in lax.map/scan chunks reliably
+# crashes the TPU compiler (XLA buffer-assignment CHECK), while pure vmap
+# compiles fine (f32 width 32 in ~80 s).
+LBFGS_CHUNK = 8
+_LBFGS_CHUNK_PAD_MIN = 1  # pad any multi-restart fit to the chunk width
+
+
 # jitted multi-restart hyperparameter fit
 @partial(jax.jit, static_argnames=("family", "maxiter"))
 def _fit_theta_restarts(family, X, y, n, noise_var, theta0s, lo, hi,
-                        maxiter=200):
+                        maxiter=200, rel_jitter=0.0):
+    # Gradient-norm tolerance matched to the dtype: 1e-8 is unreachable in
+    # float32 (every restart would burn all `maxiter` iterations).
+    tol = 1e-8 if theta0s.dtype == jnp.float64 else 1e-4
+
     def nll(theta):
-        return -masked_lml(family, theta, X, y, n, noise_var)
+        return -masked_lml(family, theta, X, y, n, noise_var, rel_jitter)
 
     solve = lambda t0: minimize_lbfgs_bounded(nll, t0, lo, hi,
-                                              maxiter=maxiter)
+                                              maxiter=maxiter, tol=tol)
     return jax.vmap(solve)(theta0s)
 
 
@@ -534,7 +562,7 @@ class GaussianProcessRegressor:
 
     def fit_gpr_hyperparameters(self, simple=False, start_from_current=True,
                                 n_restarts=None, hyperparameter_bounds=None,
-                                maxiter=200):
+                                maxiter=120):
         """
         Multi-restart LML maximization (reference: gpry/gpr.py:883-994).
         All restarts run as one vmapped device computation.
@@ -558,6 +586,12 @@ class GaussianProcessRegressor:
         bounds = np.asarray(hyperparameter_bounds if hyperparameter_bounds
                             is not None else self.theta_bounds)
         lo, hi = bounds[:, 0], bounds[:, 1]
+        # Pad the restart count up to a multiple of the LBFGS chunk width so
+        # one compiled chunk body covers every call (the extra restarts only
+        # add coverage; cf. the reference rounding restarts to the MPI world
+        # size, gpry/run.py:334-344).
+        if n_restarts > _LBFGS_CHUNK_PAD_MIN:
+            n_restarts = int(np.ceil(n_restarts / LBFGS_CHUNK)) * LBFGS_CHUNK
         theta0s = np.empty((n_restarts, len(self._theta)))
         i0 = 0
         if start_from_current:
@@ -582,16 +616,55 @@ class GaussianProcessRegressor:
         self._dy = jnp.asarray(yp, dt)
         self._noise_var_ = self._transformed_noise_var()
 
-        thetas, nlls = _fit_theta_restarts(
-            self.family, self._dX, self._dy, n, self._noise_var_,
-            jnp.asarray(theta0s, dt), jnp.asarray(lo, dt),
-            jnp.asarray(hi, dt), maxiter=maxiter)
-        nlls = np.asarray(nlls)
+        # On TPU the theta search runs in float32: the float64-emulated
+        # LBFGS graph makes the TPU compiler explode (minutes-to-never
+        # compiles), while f32 search + f64 final factorization loses
+        # nothing — restarts only need to locate the optimum basin.  A
+        # *relative* jitter (scaled by the output variance, which spans ~8
+        # decades over the search box) keeps the f32 Cholesky PD.
+        on_cpu = all(dev.platform == "cpu" for dev in self._dX.devices())
+        if on_cpu or dt != jnp.float64:
+            ladder = [(dt, 0.0, None)]
+        else:
+            # f32 search with escalating relative jitter; final rung falls
+            # back to float64 on the host CPU backend (the f64 L-BFGS graph
+            # does not compile on this TPU backend).
+            ladder = [(jnp.float32, 1e-5, None), (jnp.float32, 1e-3, None),
+                      (jnp.float64, 0.0, "cpu")]
+        nlls = thetas = None
+        for search_dt, rel_jitter, device in ladder:
+            args = (self._dX.astype(search_dt), self._dy.astype(search_dt),
+                    jnp.asarray(theta0s, search_dt),
+                    jnp.asarray(lo, search_dt), jnp.asarray(hi, search_dt))
+            if device is not None:
+                cpu = jax.devices("cpu")[0]
+                args = tuple(jax.device_put(a, cpu) for a in args)
+            dX, dy, t0s_d, lo_d, hi_d = args
+            thetas, nlls = _fit_theta_restarts(
+                self.family, dX, dy, n, self._noise_var_, t0s_d, lo_d,
+                hi_d, maxiter=maxiter, rel_jitter=rel_jitter)
+            nlls = np.asarray(nlls)
+            if np.any(np.isfinite(nlls)):
+                break
+            warnings.warn(
+                f"Hyperparameter search rung (dtype={search_dt.__name__}, "
+                f"rel_jitter={rel_jitter}) produced no finite LML; "
+                "escalating.")
         self.n_eval_loglike += int(n_restarts) * maxiter  # upper estimate
-        best = int(np.argmin(nlls))
+        # NaN-safe argmin: individual restarts may fail (non-PD at their
+        # theta); only all-failed is an error.
+        nlls_safe = np.where(np.isfinite(nlls), nlls, np.inf)
+        best = int(np.argmin(nlls_safe))
         if not np.isfinite(nlls[best]):
             raise np.linalg.LinAlgError(
-                "All hyperparameter fits failed (non-finite LML).")
+                "All hyperparameter fits failed (non-finite LML). "
+                f"n={n}, noise_var={self._noise_var_:.3g}, "
+                f"y_ range=({float(np.min(np.asarray(self._dy)[:n])):.3g}, "
+                f"{float(np.max(np.asarray(self._dy)[:n])):.3g}), "
+                f"theta0s range=({theta0s.min():.3g}, {theta0s.max():.3g}), "
+                f"lo={lo.round(2)}, hi={hi.round(2)}, "
+                f"X_ finite={bool(np.all(np.isfinite(np.asarray(self._dX))))}"
+                f", nlls[:4]={nlls[:4]}")
         self._theta = np.asarray(thetas[best])
         self.log_marginal_likelihood_value_ = -float(nlls[best])
         self._dL, self._dalpha = factorize(

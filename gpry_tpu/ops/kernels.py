@@ -47,8 +47,15 @@ def _scaled_sqdist(X1, X2, length_scales):
     """
     A = X1 / length_scales
     B = X2 / length_scales
-    diff = A[:, None, :] - B[None, :, :]
-    return jnp.sum(diff * diff, axis=-1)
+    # Statically unrolled over d with 2-D ops only: a single (n, m, d)
+    # broadcast takes minutes to *lower* on the axon TPU backend, while the
+    # unrolled 2-D form lowers in milliseconds (same flops either way).
+    d = X1.shape[-1]
+    sq = None
+    for k in range(d):
+        dk = A[..., k][..., :, None] - B[..., k][..., None, :]
+        sq = dk * dk if sq is None else sq + dk * dk
+    return sq
 
 
 def _safe_sqrt(s):

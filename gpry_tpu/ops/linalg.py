@@ -31,16 +31,20 @@ def _row_mask(n, nmax, dtype):
     return (jnp.arange(nmax) < n).astype(dtype)
 
 
-def masked_kernel_matrix(family, theta, X, n, noise_var):
+def masked_kernel_matrix(family, theta, X, n, noise_var, rel_jitter=0.0):
     """
     Padded training covariance: ``K[valid, valid] + noise_var * I`` on the
-    valid block, identity on the padding.
+    valid block, identity on the padding.  ``rel_jitter`` adds
+    ``rel_jitter * output_variance`` to the valid diagonal — used by the
+    float32 hyperparameter search to keep the Cholesky PD across the whole
+    theta box (the output variance spans ~8 orders of magnitude there).
     """
     nmax = X.shape[0]
     m = _row_mask(n, nmax, X.dtype)
     K = cross_kernel(family, theta, X, X)
     K = K * (m[:, None] * m[None, :])
-    diag_fill = jnp.where(m > 0, noise_var, 1.0)
+    diag = noise_var + rel_jitter * jnp.exp(theta[0])
+    diag_fill = jnp.where(m > 0, diag, 1.0)
     K = K + jnp.diag(diag_fill)
     return K
 
@@ -118,7 +122,7 @@ def chol_append(family, theta, X, y, n, noise_var, L, X_new, y_new):
 
 
 @partial(jax.jit, static_argnames=("family",))
-def masked_lml(family, theta, X, y, n, noise_var):
+def masked_lml(family, theta, X, y, n, noise_var, rel_jitter=0.0):
     """
     Log marginal likelihood of the valid block, identical to sklearn's
     ``log_marginal_likelihood`` for the same theta
@@ -128,7 +132,7 @@ def masked_lml(family, theta, X, y, n, noise_var):
     """
     nmax = X.shape[0]
     m = _row_mask(n, nmax, X.dtype)
-    K = masked_kernel_matrix(family, theta, X, n, noise_var)
+    K = masked_kernel_matrix(family, theta, X, n, noise_var, rel_jitter)
     L = jnp.linalg.cholesky(K)
     z = solve_triangular(L, y, lower=True)
     quad = jnp.sum(z * z)
