@@ -131,7 +131,7 @@ def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
     d = lo.shape[0]
     dtype = lo.dtype
     if kill_batch is None:
-        kill_batch = max(1, nlive // 8)
+        kill_batch = max(1, nlive // 6)
     B = int(kill_batch)
 
     k0, key = jax.random.split(key)

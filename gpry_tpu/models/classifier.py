@@ -74,13 +74,14 @@ class SVM:
     """
 
     def __init__(self, C=1e7, kernel="rbf", gamma="scale", tol=1e-3,
-                 random_state=None):
+                 random_state=None, backend="native"):
         if kernel != "rbf":
             raise ValueError("Only the RBF kernel is supported.")
         self.C = C
         self.gamma = gamma
         self.tol = tol
         self.random_state = random_state
+        self.backend = backend  # "native" (C++ SMO) with sklearn fallback
         self.X_train = None
         self.y_train = None
         self.y_finite = None
@@ -88,7 +89,11 @@ class SVM:
         self.all_finite = False
         self.diff_threshold = None
         self._max_y = None
-        self._svc = None  # fitted sklearn SVC, if a fit was needed
+        # fitted decision function: f(x) = sum dual_i K(x, sv_i) + b
+        self._sv = None
+        self._dual = None
+        self._intercept = None
+        self._gamma_val = None
 
     # -- threshold logic (reference: gpry/svm.py:273-306) --------------------
 
@@ -138,14 +143,34 @@ class SVM:
             self.y_train, self.diff_threshold, self._max_y)
         if np.all(self.y_finite):
             self.all_finite = True
-            self._svc = None
+            self._sv = None
             return self.y_finite
         self.all_finite = False
+        gamma = None if self.gamma == "scale" else float(self.gamma)
+        if self.backend == "native":
+            try:
+                from gpry_tpu.native import train_rbf_svc
+                (self._sv, self._dual, self._intercept,
+                 self._gamma_val) = train_rbf_svc(
+                    self.X_train, self.y_finite, C=self.C, gamma=gamma,
+                    tol=self.tol)
+                return self.y_finite
+            except Exception:  # toolchain missing: fall through to sklearn
+                pass
         from sklearn.svm import SVC
-        self._svc = SVC(C=self.C, kernel="rbf", gamma=self.gamma,
-                        tol=self.tol)
-        self._svc.fit(self.X_train, self.y_finite)
+        svc = SVC(C=self.C, kernel="rbf", gamma=self.gamma, tol=self.tol)
+        svc.fit(self.X_train, self.y_finite)
+        self._sv = svc.support_vectors_
+        self._dual = svc.dual_coef_[0]
+        self._intercept = float(svc.intercept_[0])
+        self._gamma_val = float(svc._gamma)
         return self.y_finite
+
+    def decision_function(self, X):
+        """f(x) = sum_i dual_i K_rbf(x, sv_i) + b (positive = finite)."""
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        sq = ((X[:, None, :] - self._sv[None, :, :]) ** 2).sum(-1)
+        return np.exp(-self._gamma_val * sq) @ self._dual + self._intercept
 
     def predict(self, X, validate=True):
         """Boolean "finite predicted" array, in preprocessed coordinates."""
@@ -156,7 +181,7 @@ class SVM:
             return np.full(len(X), True)
         if not self.at_least_one_finite:
             return np.full(len(X), False)
-        return self._svc.predict(X)
+        return self.decision_function(X) > 0
 
     # -- device export ---------------------------------------------------------
 
@@ -166,7 +191,7 @@ class SVM:
         ``nsv_max`` buckets the support-vector buffer (recompile per bucket).
         """
         dtype = dtype or config.FIT_DTYPE
-        if self.y_train is None or self.all_finite or self._svc is None:
+        if self.y_train is None or self.all_finite or self._sv is None:
             if not self.at_least_one_finite and self.y_train is not None:
                 d = self.X_train.shape[1]
                 p = trivial_svm_params(d, nsv_max or 8, dtype)
@@ -174,8 +199,8 @@ class SVM:
                                                    jnp.int32))
             d = self.X_train.shape[1] if self.X_train is not None else 1
             return trivial_svm_params(d, nsv_max or 8, dtype)
-        sv = self._svc.support_vectors_
-        dual = self._svc.dual_coef_[0]
+        sv = self._sv
+        dual = self._dual
         nsv, d = sv.shape
         if nsv_max is None:
             nsv_max = config.bucket_size(nsv)
@@ -186,6 +211,6 @@ class SVM:
             mode=jnp.asarray(MODE_FITTED, jnp.int32),
             sv=jnp.asarray(np.pad(sv, ((0, pad), (0, 0))), dtype),
             dual=jnp.asarray(np.pad(dual, (0, pad)), dtype),
-            intercept=jnp.asarray(float(self._svc.intercept_[0]), dtype),
-            gamma=jnp.asarray(float(self._svc._gamma), dtype),
+            intercept=jnp.asarray(self._intercept, dtype),
+            gamma=jnp.asarray(self._gamma_val, dtype),
         )

@@ -149,6 +149,14 @@ LBFGS_CHUNK = 8
 _LBFGS_CHUNK_PAD_MIN = 1  # pad any multi-restart fit to the chunk width
 
 
+@partial(jax.jit, static_argnames=("family",))
+def _lml_batch(family, X, y, n, noise_var, thetas, rel_jitter=0.0):
+    """Vmapped LML sweep (restart screening)."""
+    return jax.vmap(
+        lambda t: masked_lml(family, t, X, y, n, noise_var, rel_jitter)
+    )(thetas)
+
+
 # jitted multi-restart hyperparameter fit
 @partial(jax.jit, static_argnames=("family", "maxiter"))
 def _fit_theta_restarts(family, X, y, n, noise_var, theta0s, lo, hi,
@@ -600,7 +608,6 @@ class GaussianProcessRegressor:
         if n_restarts > i0:
             theta0s[i0:] = self._rng.uniform(
                 lo, hi, size=(n_restarts - i0, len(lo)))
-
         # Refresh padded buffers for the current training set (cheap; no
         # factorization needed before the fit).
         n = self.n
@@ -615,6 +622,27 @@ class GaussianProcessRegressor:
         self._dX = jnp.asarray(Xp, dt)
         self._dy = jnp.asarray(yp, dt)
         self._noise_var_ = self._transformed_noise_var()
+
+        # Screen starts: evaluate the LML on a cheap batched sweep of extra
+        # log-uniform candidates and keep the best as the restart seeds
+        # (TPU-idiomatic upgrade of blind log-uniform restarts; one vmapped
+        # LML costs ~one L-BFGS iteration).
+        if n_restarts > i0 + 1:
+            n_screen = 8 * n_restarts
+            cand = self._rng.uniform(lo, hi, size=(n_screen, len(lo)))
+            cand = np.vstack([theta0s[i0:], cand])
+            on_cpu_scr = all(dev.platform == "cpu"
+                             for dev in self._dX.devices())
+            sdt = jnp.float32 if (not on_cpu_scr and dt == jnp.float64) \
+                else dt
+            lml_c = np.asarray(_lml_batch(
+                self.family, self._dX.astype(sdt), self._dy.astype(sdt),
+                n, self._noise_var_, jnp.asarray(cand, sdt),
+                rel_jitter=1e-5 if sdt == jnp.float32 else 0.0))
+            lml_c = np.where(np.isfinite(lml_c), lml_c, -np.inf)
+            order = np.argsort(lml_c)[::-1]
+            theta0s[i0:] = cand[order[:n_restarts - i0]]
+            self.n_eval_loglike += len(cand)
 
         # On TPU the theta search runs in float32: the float64-emulated
         # LBFGS graph makes the TPU compiler explode (minutes-to-never
