@@ -121,8 +121,20 @@ def surrogate_predict(family, p: SurrogateParams, Xq_raw):
 
 @partial(jax.jit, static_argnames=("family",))
 def surrogate_predict_mean(family, p: SurrogateParams, Xq_raw):
-    """Gated mean only (the NS log-density target)."""
-    return surrogate_predict(family, p, Xq_raw)[0]
+    """
+    Gated mean only — the NS/MCMC log-density target.  Skips the
+    triangular solve entirely (sigma is never used there).
+    """
+    from gpry_tpu.ops.linalg import predict_mean
+    Xq_ = (Xq_raw - p.x_loc) / p.x_scale
+    mean = predict_mean(family, p.theta, p.X, p.n, p.alpha, Xq_) \
+        * p.y_scale + p.y_loc
+    mean = jnp.minimum(mean, p.clip_max)
+    finite = svm_decision(p.svm, Xq_)
+    in_trust = jnp.all((Xq_raw >= p.trust_lo) & (Xq_raw <= p.trust_hi),
+                       axis=-1)
+    return jnp.where(finite & in_trust, mean,
+                     jnp.asarray(-jnp.inf, mean.dtype))
 
 
 def cast_surrogate(p: SurrogateParams, dtype):
@@ -668,9 +680,24 @@ class GaussianProcessRegressor:
                 cpu = jax.devices("cpu")[0]
                 args = tuple(jax.device_put(a, cpu) for a in args)
             dX, dy, t0s_d, lo_d, hi_d = args
-            thetas, nlls = _fit_theta_restarts(
-                self.family, dX, dy, n, self._noise_var_, t0s_d, lo_d,
-                hi_d, maxiter=maxiter, rel_jitter=rel_jitter)
+            if n_restarts >= 2 * LBFGS_CHUNK:
+                # Two-phase: coarse pass on all restarts, polish the top
+                # LBFGS_CHUNK — most full-length iterations would only
+                # polish losing restarts (the vmap runs lock-step).
+                thetas1, nlls1 = _fit_theta_restarts(
+                    self.family, dX, dy, n, self._noise_var_, t0s_d, lo_d,
+                    hi_d, maxiter=min(30, maxiter), rel_jitter=rel_jitter)
+                nlls1 = np.asarray(nlls1)
+                order = np.argsort(np.where(np.isfinite(nlls1), nlls1,
+                                            np.inf))
+                top = jnp.asarray(np.asarray(thetas1)[order[:LBFGS_CHUNK]])
+                thetas, nlls = _fit_theta_restarts(
+                    self.family, dX, dy, n, self._noise_var_, top, lo_d,
+                    hi_d, maxiter=maxiter, rel_jitter=rel_jitter)
+            else:
+                thetas, nlls = _fit_theta_restarts(
+                    self.family, dX, dy, n, self._noise_var_, t0s_d, lo_d,
+                    hi_d, maxiter=maxiter, rel_jitter=rel_jitter)
             nlls = np.asarray(nlls)
             if np.any(np.isfinite(nlls)):
                 break

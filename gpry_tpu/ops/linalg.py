@@ -141,6 +141,20 @@ def masked_lml(family, theta, X, y, n, noise_var, rel_jitter=0.0):
 
 
 @partial(jax.jit, static_argnames=("family",))
+def predict_mean(family, theta, X, n, alpha, Xq):
+    """
+    GP posterior mean only: ``K(Xq, X) @ alpha`` — no triangular solve.
+    The hot path for nested-sampling/MCMC log-density sweeps (which never
+    use sigma), ~an order of magnitude cheaper per call than
+    ``predict_meanvar``.
+    """
+    nmax = X.shape[0]
+    m = _row_mask(n, nmax, X.dtype)
+    Kq = cross_kernel(family, theta, Xq, X) * m[None, :]
+    return Kq @ alpha
+
+
+@partial(jax.jit, static_argnames=("family",))
 def predict_meanvar(family, theta, X, n, noise_var, L, alpha, Xq):
     """
     GP posterior mean and latent variance at query points ``Xq`` (nq, d),
