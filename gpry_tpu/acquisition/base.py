@@ -7,11 +7,9 @@ spec (instance, class name, or single-key dict), and expose
 ``multi_add(gpr, n_points, bounds, rng)``.
 """
 
-import numpy as np
-
 import gpry_tpu.acquisition.functions as af_module
 from gpry_tpu.acquisition.functions import AcquisitionFunction, LogExp
-from gpry_tpu.models.gp import SurrogateParams, surrogate_predict
+from gpry_tpu.models.gp import SurrogateParams
 from gpry_tpu.ops.linalg import chol_append
 from gpry_tpu.utils.tools import check_and_return_bounds, get_Xnumber
 
@@ -79,16 +77,6 @@ class GenericGPAcquisition:
 
     def multi_add(self, gpr, n_points=1, bounds=None, rng=None):
         raise NotImplementedError
-
-    # -- shared helpers ---------------------------------------------------------
-
-    @staticmethod
-    def _acq_values(acq_func, family, p, X_raw):
-        """Gated acquisition values at raw-space points (device)."""
-        mu, std = surrogate_predict(family, p, jnp.asarray(X_raw))
-        nv = p.noise_var ** 0.5 * p.y_scale  # noise std in raw-y units
-        del nv  # reference uses raw noise_level directly; handled by caller
-        return mu, std
 
     def log(self, msg, level=3):
         if self.verbose >= level:

@@ -20,7 +20,6 @@ from gpry_tpu.acquisition.base import GenericGPAcquisition, append_lie
 from gpry_tpu.acquisition.proposal import CentroidsProposer, PartialProposer
 from gpry_tpu.models.gp import (SurrogateParams, surrogate_mean_std_smooth,
                                 surrogate_predict)
-from gpry_tpu.models.classifier import svm_decision
 from gpry_tpu.ops.lbfgs import minimize_lbfgs_bounded
 from gpry_tpu.utils.tools import check_and_return_bounds
 

@@ -34,7 +34,7 @@ from gpry_tpu.acquisition.base import GenericGPAcquisition
 from gpry_tpu.acquisition.ranked_pool import RankedPool
 from gpry_tpu.mc.nested import run_nested_device
 from gpry_tpu.models.gp import surrogate_predict
-from gpry_tpu.utils.tools import (check_and_return_bounds, get_Xnumber,
+from gpry_tpu.utils.tools import (check_and_return_bounds,
                                   mean_covmat_from_samples)
 
 

@@ -11,10 +11,6 @@ while its code default is 1e-2 (SURVEY.md section 5.6); this build settles
 on the code default 1e-2 everywhere, deliberately.
 """
 
-import numbers
-
-import numpy as np
-
 DEFAULTS = {
     # loop options (reference CobayaWrapper.yaml:6-28)
     "n_initial": "3d",

@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gpry_tpu import config
 from gpry_tpu.mc.nested import run_nested_device
 from gpry_tpu.mc.mcmc import run_mcmc_device
 from gpry_tpu.models.gp import surrogate_predict_mean

@@ -17,7 +17,6 @@ gamma) and evaluated on device, see ``svm_decision``.
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -35,13 +35,12 @@ from gpry_tpu import config
 from gpry_tpu.models.classifier import SVM, SVMParams, svm_decision, \
     trivial_svm_params
 from gpry_tpu.models.preprocessing import DummyPreprocessor
-from gpry_tpu.ops.kernels import cross_kernel, make_theta, \
-    theta_bounds_dynamic
+from gpry_tpu.ops.kernels import make_theta, theta_bounds_dynamic
 from gpry_tpu.ops.lbfgs import minimize_lbfgs_bounded
 from gpry_tpu.ops.linalg import chol_append, factorize, masked_lml, \
     predict_meanvar
 from gpry_tpu.utils.tools import check_and_return_bounds, \
-    delta_logp_of_1d_nstd, get_Xnumber, is_in_bounds, shrink_bounds
+    delta_logp_of_1d_nstd, get_Xnumber, shrink_bounds
 
 _KERNEL_ALIASES = {
     "rbf": "rbf",

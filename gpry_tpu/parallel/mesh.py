@@ -19,8 +19,6 @@ The reference's parallelism is MPI task-parallelism over batch axes
 Single-chip execution is the degenerate mesh; the same code paths run.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

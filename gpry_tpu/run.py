@@ -14,8 +14,6 @@ multi-restart fit), fit_simple_every=1.
 """
 
 import os
-import warnings
-from copy import deepcopy
 
 import numpy as np
 
