@@ -97,17 +97,13 @@ class Runner:
             self._load_options(self.options)
             self.gpr = self._construct_gpr(gpr)
             self.acquisition = self._construct_gp_acquisition(gp_acquisition)
-            self.initial_proposer = self._construct_initial_proposer(
-                initial_proposer)
             self.convergence_criterion = \
                 self._construct_convergence_criterion(convergence_criterion)
             self.progress = Progress()
-        if not resuming:
-            self.initial_proposer = getattr(self, "initial_proposer", None) \
-                or self._construct_initial_proposer(initial_proposer)
-        else:
-            self.initial_proposer = self._construct_initial_proposer(
-                initial_proposer)
+        # The proposer is rebuilt in both paths (it holds a live reference
+        # to the truth, which checkpoints only as a re-init dict).
+        self.initial_proposer = self._construct_initial_proposer(
+            initial_proposer)
         self.executor = TruthExecutor(self.truth, mode=truth_executor)
         self._resumed = resuming
 

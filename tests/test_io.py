@@ -45,6 +45,32 @@ def test_checkpoint_resume(tmp_path, criterion):
                        atol=1e-10)
 
 
+def test_checkpoint_resume_with_infinities(tmp_path):
+    """Resume must restore the classifier state (SVM support vectors live
+    on device) and keep gating predictions identically."""
+
+    def loglike(x):
+        x = np.asarray(x)
+        r2 = float(np.sum(x**2))
+        return -0.5 * r2 / 0.25 if r2 < 1.0 else -np.inf
+
+    bounds = np.array([[-2.0, 2.0]] * 2)
+    ckpt = str(tmp_path / "ckpt_inf")
+    runner = Runner(loglike, bounds=bounds, seed=6, verbose=1,
+                    options={"max_total": 30, "max_initial": 30},
+                    convergence_criterion="DontConverge",
+                    checkpoint=ckpt, load_checkpoint="overwrite")
+    runner.run()
+    assert runner.gpr.n < runner.gpr.n_total  # some infinities seen
+    Xq = np.array([[1.9, 1.9], [0.1, 0.0]])
+    pred_before = runner.gpr.predict(Xq)
+    del runner
+    runner2 = Runner(loglike, bounds=bounds, seed=6, verbose=1,
+                     checkpoint=ckpt, load_checkpoint="resume")
+    assert np.allclose(runner2.gpr.predict(Xq), pred_before)
+    assert runner2.gpr.predict(np.array([[1.9, 1.9]]))[0] == -np.inf
+
+
 def test_ensure_gpr_roundtrip(tmp_path):
     m = random_gaussian(d=2, rng=5)
     ckpt = str(tmp_path / "ckpt2")
