@@ -167,6 +167,48 @@ def getdist_add_training(gdplot, params, gpr, colormap="viridis",
     return gdplot
 
 
+def plot_model_2d(gpr, bounds=None, n_grid=80, what="mean", acq_func=None,
+                  save=None, show=False):
+    """
+    2-D contour maps of the surrogate (mean / std / acquisition) with the
+    training set overlaid (reference: gpry/plots.py:1039-1167).
+    ``what``: "mean", "std", or "acq" (requires ``acq_func(y, sigma)``).
+    """
+    plt = _plt()
+    if gpr.d != 2:
+        raise ValueError("plot_model_2d requires a 2-d model.")
+    bounds = np.asarray(bounds if bounds is not None else gpr.bounds)
+    gx = np.linspace(bounds[0, 0], bounds[0, 1], n_grid)
+    gy = np.linspace(bounds[1, 0], bounds[1, 1], n_grid)
+    GX, GY = np.meshgrid(gx, gy, indexing="ij")
+    Xq = np.column_stack([GX.ravel(), GY.ravel()])
+    mu, sd = gpr.predict(Xq, return_std=True)
+    if what == "mean":
+        Z = mu
+    elif what == "std":
+        Z = sd
+    elif what == "acq":
+        if acq_func is None:
+            raise ValueError("Pass acq_func for what='acq'.")
+        Z = np.asarray(acq_func(mu, sd))
+    else:
+        raise ValueError(f"Unknown what={what!r}")
+    Z = np.where(np.isfinite(Z), Z, np.nan).reshape(n_grid, n_grid)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    pcm = ax.pcolormesh(GX, GY, Z, shading="auto")
+    fig.colorbar(pcm, ax=ax, label=what)
+    if gpr.n:
+        ax.plot(gpr.X_train[:, 0], gpr.X_train[:, 1], "r.", ms=4,
+                label="training")
+    Xinf = gpr.X_train_infinite
+    if len(Xinf):
+        ax.plot(Xinf[:, 0], Xinf[:, 1], "kx", ms=4, label="infinite")
+    ax.legend(loc="upper right")
+    ax.set_xlabel("x_1")
+    ax.set_ylabel("x_2")
+    return _finish(fig, save, show)
+
+
 def plot_distance_distribution(gpr, samples_dict, save=None, show=False):
     """
     Histogram of Mahalanobis distances of training points under the MC

@@ -108,6 +108,24 @@ def test_truth_executor_modes():
         ex.shutdown()
 
 
+def test_runner_with_thread_executor():
+    """The loop works with host-parallel truth evaluation (the analogue of
+    the reference's MPI-parallel _eval_truth_parallel)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from model_generator import random_gaussian
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=8)
+    runner = Runner(m.loglike, bounds=m.bounds, seed=8, verbose=1,
+                    truth_executor="threads",
+                    options={"max_total": 16, "max_initial": 10},
+                    convergence_criterion="DontConverge")
+    runner.run()
+    assert runner.gpr.n_total >= 14
+
+
 def test_mpi_shim_single_process():
     from gpry_tpu import mpi
     assert mpi.is_main_process and not mpi.multiple_processes
