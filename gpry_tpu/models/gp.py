@@ -204,10 +204,14 @@ class GaussianProcessRegressor:
                              "the infinities threshold depend on them).")
         self.bounds = check_and_return_bounds(bounds)
         self.verbose = verbose
-        self.noise_level = noise_level
         if np.iterable(noise_level):
-            raise NotImplementedError(
-                "Per-point noise arrays not supported yet; pass a scalar.")
+            raise ValueError(
+                "Pass a scalar default noise_level at init; per-point "
+                "noise goes through append_to_data(noise_level=...).")
+        self.noise_level_default = float(noise_level)
+        # raw noise std per appended point (in y_train_all order)
+        self.noise_level_all = np.empty((0,))
+        self._has_custom_noise = False
         if clip_factor is not None and clip_factor < 1:
             raise ValueError("'clip_factor' must be >= 1, or None.")
         self.clip_factor = clip_factor
@@ -330,6 +334,14 @@ class GaussianProcessRegressor:
         return self._fitted
 
     @property
+    def noise_level(self):
+        """Raw-space noise std: scalar default, or the per-point array when
+        custom per-append noise was given (reference: gpry/gpr.py:625-680)."""
+        if self._has_custom_noise:
+            return self.noise_level_all
+        return self.noise_level_default
+
+    @property
     def X_train_infinite(self):
         if self.infinities_classifier is None:
             return np.empty((0, self.d))
@@ -429,8 +441,6 @@ class GaussianProcessRegressor:
         gpry/gpr.py:577-770).  ``fit_gpr`` may be True, False, "simple", or a
         dict of ``fit_gpr_hyperparameters`` kwargs.
         """
-        if noise_level is not None:
-            raise NotImplementedError("Per-append noise not supported yet.")
         fit_gpr_kwargs = None
         if fit_gpr is True:
             fit_classifier = True
@@ -464,11 +474,26 @@ class GaussianProcessRegressor:
                 f"X has {X.shape[1]} columns but the model is "
                 f"{self.d}-dimensional.")
 
+        # per-point noise bookkeeping (reference: gpry/gpr.py:625-684)
+        if noise_level is None:
+            noise_new = np.full(len(y), self.noise_level_default)
+        elif np.iterable(noise_level):
+            noise_new = np.asarray(noise_level, dtype=float)
+            if len(noise_new) != len(y):
+                raise ValueError(
+                    f"noise_level has {len(noise_new)} entries but y has "
+                    f"{len(y)}.")
+            self._has_custom_noise = True
+        else:
+            noise_new = np.full(len(y), float(noise_level))
+            self._has_custom_noise = True
+
         old_finite_mask = self._is_finite_all() \
             if len(self.y_train_all) else np.empty(0, dtype=bool)
         self.n_last_appended = len(y)
         self.X_train_all = np.append(self.X_train_all, X, axis=0)
         self.y_train_all = np.append(self.y_train_all, y)
+        self.noise_level_all = np.append(self.noise_level_all, noise_new)
 
         # 1. Thresholding (with keep-min-finite adjustment).
         diff_threshold = self._diff_threshold_keep_n()
@@ -528,9 +553,26 @@ class GaussianProcessRegressor:
         y_ = np.asarray(self.preprocessing_y.transform(self.y_train))
         return X_, y_
 
-    def _transformed_noise_var(self):
-        nl_ = self.preprocessing_y.transform_scale(self.noise_level)
-        return float(nl_) ** 2
+    def _transformed_noise_var(self, nmax=None):
+        """
+        Diagonal noise variance in transformed-y units: a scalar, or — when
+        per-point noise was given — an (nmax,) padded vector over the finite
+        training rows (padding carries the default value).
+        """
+        if not self._has_custom_noise:
+            nl_ = self.preprocessing_y.transform_scale(
+                self.noise_level_default)
+            return float(nl_) ** 2
+        if nmax is None:
+            nmax = self._nmax
+        finite = self._is_finite_all()
+        nl_fin = self.preprocessing_y.transform_scale(
+            self.noise_level_all[finite])
+        default_ = float(self.preprocessing_y.transform_scale(
+            self.noise_level_default)) ** 2
+        out = np.full(nmax, default_)
+        out[:len(nl_fin)] = np.square(nl_fin)
+        return out
 
     def _update_model(self):
         """Full padded refactorization for the current training set."""
@@ -547,7 +589,7 @@ class GaussianProcessRegressor:
         yp[:n] = y_
         self._dX = jnp.asarray(Xp, dt)
         self._dy = jnp.asarray(yp, dt)
-        self._noise_var_ = self._transformed_noise_var()
+        self._noise_var_ = self._transformed_noise_var(nmax)
         self._dL, self._dalpha = factorize(
             self.family, jnp.asarray(self._theta, dt), self._dX, self._dy,
             n, self._noise_var_)
@@ -632,7 +674,7 @@ class GaussianProcessRegressor:
         yp[:n] = y_
         self._dX = jnp.asarray(Xp, dt)
         self._dy = jnp.asarray(yp, dt)
-        self._noise_var_ = self._transformed_noise_var()
+        self._noise_var_ = self._transformed_noise_var(nmax)
 
         # Screen starts: evaluate the LML on a cheap batched sweep of extra
         # log-uniform candidates and keep the best as the restart seeds
@@ -712,7 +754,7 @@ class GaussianProcessRegressor:
         if not np.isfinite(nlls[best]):
             raise np.linalg.LinAlgError(
                 "All hyperparameter fits failed (non-finite LML). "
-                f"n={n}, noise_var={self._noise_var_:.3g}, "
+                f"n={n}, noise_var={np.mean(self._noise_var_):.3g}, "
                 f"y_ range=({float(np.min(np.asarray(self._dy)[:n])):.3g}, "
                 f"{float(np.max(np.asarray(self._dy)[:n])):.3g}), "
                 f"theta0s range=({theta0s.min():.3g}, {theta0s.max():.3g}), "
@@ -737,7 +779,7 @@ class GaussianProcessRegressor:
         self.n_eval_loglike += 1
         return float(masked_lml(
             self.family, jnp.asarray(theta, self._dtype), self._dX, self._dy,
-            self.n, self._transformed_noise_var()))
+            self.n, self._noise_var_))
 
     # ------------------------------------------------------------- trust region
 

@@ -43,7 +43,10 @@ def masked_kernel_matrix(family, theta, X, n, noise_var, rel_jitter=0.0):
     m = _row_mask(n, nmax, X.dtype)
     K = cross_kernel(family, theta, X, X)
     K = K * (m[:, None] * m[None, :])
-    diag = noise_var + rel_jitter * jnp.exp(theta[0])
+    # noise_var may be a scalar or a per-point (nmax,) vector
+    diag = jnp.broadcast_to(
+        jnp.asarray(noise_var, X.dtype), (nmax,)) \
+        + rel_jitter * jnp.exp(theta[0])
     diag_fill = jnp.where(m > 0, diag, 1.0)
     K = K + jnp.diag(diag_fill)
     return K
@@ -97,8 +100,15 @@ def chol_append(family, theta, X, y, n, noise_var, L, X_new, y_new):
     # Cross-covariance of old valid rows vs new points, zero on padding.
     K12 = cross_kernel(family, theta, X, X_new) * m[:, None]        # (Nmax, k)
     S12 = solve_triangular(L, K12, lower=True)                       # (Nmax, k)
+    # per-point noise: rows n..n+k of the padded noise vector (scalar case
+    # broadcasts trivially)
+    if jnp.ndim(noise_var) == 0:
+        noise_new = jnp.broadcast_to(jnp.asarray(noise_var, dtype), (k,))
+    else:
+        noise_new = jax.lax.dynamic_slice(
+            jnp.asarray(noise_var, dtype), (n,), (k,))
     K22 = (cross_kernel(family, theta, X_new, X_new)
-           + noise_var * jnp.eye(k, dtype=dtype))
+           + jnp.diag(noise_new))
     S22 = jnp.linalg.cholesky(K22 - S12.T @ S12)                     # (k, k)
 
     # Write the new block rows of L: [S12^T, S22, 0].  S12^T columns >= n are

@@ -153,6 +153,43 @@ def test_y_max_and_clipping(rng):
     assert np.all(mean <= clip + 1e-9)
 
 
+def test_per_point_noise(rng):
+    """Per-append noise arrays (reference: gpry/gpr.py:625-684): noisy
+    points should pull the posterior mean less than exact ones."""
+    d = 1
+    bounds = np.array([[0.0, 1.0]])
+    X = np.linspace(0.05, 0.95, 10)[:, None]
+    y = np.sin(6 * X[:, 0])
+    gpr = make_gpr(bounds, account_for_inf=False)
+    gpr.append_to_data(X, y, fit_gpr=False)
+    # one additional very noisy outlier at the center
+    gpr_noisy = make_gpr(bounds, account_for_inf=False)
+    gpr_noisy.append_to_data(X, y, fit_gpr=False)
+    gpr_exact = make_gpr(bounds, account_for_inf=False)
+    gpr_exact.append_to_data(X, y, fit_gpr=False)
+    x_new, y_out = np.array([[0.5]]), np.array([5.0])
+    gpr_noisy.append_to_data(x_new, y_out, noise_level=np.array([3.0]),
+                             fit_gpr=False)
+    gpr_exact.append_to_data(x_new, y_out, fit_gpr=False)
+    m_noisy = gpr_noisy.predict(x_new)[0]
+    m_exact = gpr_exact.predict(x_new)[0]
+    base = gpr.predict(x_new)[0]
+    # the exact append interpolates the outlier; the noisy one shrinks to it
+    assert abs(m_exact - 5.0) < abs(m_noisy - 5.0)
+    assert abs(m_noisy - base) < abs(m_exact - base) + 1.0
+    # incremental append with vector noise == full refactorization
+    from gpry_tpu.ops.linalg import factorize
+    import jax.numpy as jnp
+    nv = gpr_noisy._noise_var_
+    assert np.ndim(nv) == 1
+    Lf, af = factorize(gpr_noisy.family,
+                       jnp.asarray(gpr_noisy._theta, gpr_noisy._dtype),
+                       gpr_noisy._dX, gpr_noisy._dy, gpr_noisy.n,
+                       jnp.asarray(nv, gpr_noisy._dtype))
+    assert np.allclose(np.asarray(gpr_noisy._dalpha), np.asarray(af),
+                       atol=1e-8)
+
+
 def test_grad_predictions(rng):
     # Fixed moderate hyperparameters: with a fitted (very confident) GP,
     # sigma ~ 1e-3 and finite differences of sigma drown in the linear-solve
