@@ -97,7 +97,7 @@ class NORA(GenericGPAcquisition):
         lo = jnp.asarray(self.bounds[:, 0], dt)
         hi = jnp.asarray(self.bounds[:, 1], dt)
         nlive = self._nlive(gpr)
-        max_dead = int(nlive * max(10, 3 * self.d))
+        max_dead = int(nlive * max(8, 2 * self.d))
         key = jax.random.PRNGKey(int(self.rng.integers(2**31)))
         res = run_nested_device(
             surrogate_logp_fn(gpr.family), p, key, lo, hi, nlive=nlive,

@@ -157,8 +157,15 @@ def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
         logz_tot = jnp.logaddexp(logz_d, logz_live)
         not_converged = (logz_live - logz_tot) > jnp.log(precision_criterion)
         has_room = k + B <= max_dead
+        # plateau stop: if all live points share (numerically) the same
+        # log-density — e.g. the surrogate's clipped flat top — further
+        # compression gains nothing and the evidence criterion can never
+        # trigger.
+        spread = jnp.max(live_logl) - jnp.min(live_logl)
+        plateau = (k > nlive) & jnp.isfinite(spread) & \
+            (spread < 1e-9 * jnp.maximum(1.0, jnp.abs(jnp.max(live_logl))))
         # keep going while not converged (or nothing finite yet) and room
-        return (not_converged | jnp.isinf(logz_tot)) & has_room
+        return (not_converged | jnp.isinf(logz_tot)) & has_room & ~plateau
 
     def outer_body(state):
         key, live_X, live_logl, dead_X, dead_logl, k, calls = state

@@ -536,8 +536,11 @@ class GaussianProcessRegressor:
         if fit_gpr:
             self.fit_gpr_hyperparameters(**fit_gpr_kwargs)
         elif (appended_only and not fit_preprocessors and self._dL is not None
-              and len(y_finite) <= self._nmax and self._fitted):
-            # Fast path (Kriging-believer lies): incremental Cholesky append.
+              and len(y_finite) <= self._nmax and self._fitted
+              and noise_level is None):
+            # Fast path (Kriging-believer lies): incremental Cholesky
+            # append.  Default noise only: custom per-append noise needs the
+            # refreshed padded noise vector of a full refactorization.
             new_X = X_finite[len(y_finite) - self.n_last_appended_finite:]
             new_y = y_finite[len(y_finite) - self.n_last_appended_finite:]
             self._device_append(new_X, new_y)
@@ -727,7 +730,7 @@ class GaussianProcessRegressor:
                 # polish losing restarts (the vmap runs lock-step).
                 thetas1, nlls1 = _fit_theta_restarts(
                     self.family, dX, dy, n, self._noise_var_, t0s_d, lo_d,
-                    hi_d, maxiter=min(30, maxiter), rel_jitter=rel_jitter)
+                    hi_d, maxiter=min(20, maxiter), rel_jitter=rel_jitter)
                 nlls1 = np.asarray(nlls1)
                 order = np.argsort(np.where(np.isfinite(nlls1), nlls1,
                                             np.inf))

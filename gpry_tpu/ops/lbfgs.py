@@ -42,7 +42,7 @@ def to_constrained(u, lo, hi):
 
 
 def minimize_lbfgs(fun, x0, maxiter=100, tol=1e-8, memory_size=8,
-                   max_linesearch_steps=25):
+                   max_linesearch_steps=18):
     """
     Minimize ``fun`` (scalar, differentiable) from ``x0`` with L-BFGS +
     Armijo backtracking.  Returns ``(x_opt, f_opt)``.  Fully jittable and
