@@ -38,15 +38,46 @@ def construct_acq_func(spec, d, zeta_scaling=0.85):
     raise ValueError(f"Cannot build acquisition function from {spec!r}")
 
 
+def grow_surrogate(p: SurrogateParams, nmax_new):
+    """
+    Re-pad a surrogate snapshot to a larger buffer: zeros on X/y/alpha,
+    identity on the padded block of L (the invariant of ops.linalg), and the
+    mean noise on new per-point noise entries (only believer lies ever land
+    there).  Used when Kriging-believer conditioning hits a full bucket.
+    """
+    nmax = p.X.shape[0]
+    k = int(nmax_new) - nmax
+    if k <= 0:
+        return p
+    X2 = jnp.pad(p.X, ((0, k), (0, 0)))
+    y2 = jnp.pad(p.y, (0, k))
+    alpha2 = jnp.pad(p.alpha, (0, k))
+    L2 = jnp.pad(p.L, ((0, k), (0, k)))
+    idx = jnp.arange(nmax, nmax + k)
+    L2 = L2.at[idx, idx].set(1.0)
+    noise = p.noise_var
+    if jnp.ndim(noise) > 0:
+        noise = jnp.pad(noise, (0, k), constant_values=float(noise.mean()))
+    return p._replace(X=X2, y=y2, L=L2, alpha=alpha2, noise_var=noise)
+
+
 def append_lie(family, p: SurrogateParams, x_raw, y_raw):
     """
     Kriging-believer conditioning as a pure O(nmax^2) update on the
     surrogate pytree: append (x, lie) without refitting anything.  This is
     the TPU-native replacement for the reference's deepcopy + refactorize
     model cache (gpry/gp_acquisition.py:1522-1555).
+
+    Grows the padded buffers when the bucket is exactly full (n == nmax) —
+    otherwise the out-of-bounds scatter would be silently dropped and the
+    conditioning would become a no-op.
     """
     x_raw = jnp.atleast_2d(x_raw)
     y_raw = jnp.atleast_1d(y_raw)
+    k = x_raw.shape[0]
+    if int(p.n) + k > p.X.shape[0]:
+        from gpry_tpu import config
+        p = grow_surrogate(p, config.bucket_size(int(p.n) + k))
     x_ = (x_raw - p.x_loc) / p.x_scale
     y_ = (y_raw - p.y_loc) / p.y_scale
     X2, y2, n2, L2, alpha2 = chol_append(

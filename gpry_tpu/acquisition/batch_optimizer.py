@@ -25,11 +25,15 @@ from gpry_tpu.utils.tools import check_and_return_bounds
 
 
 @partial(jax.jit, static_argnames=("family",))
-def _acq_values_gated(family, p: SurrogateParams, zeta, noise_var_raw,
+def _acq_values_gated(family, p: SurrogateParams, zeta, noise_std_raw,
                       X_raw):
-    """LogExp-family acquisition with all gates (-inf outside)."""
+    """LogExp-family acquisition with all gates (-inf outside).
+
+    ``noise_std_raw`` is the raw-space noise std sigma_n, squared here —
+    the same convention as ``LogExp.values`` and NORA, so engines agree
+    bitwise (reference: gpry/acquisition_functions.py:973-983)."""
     mu, std = surrogate_predict(family, p, X_raw)
-    var = std * std - noise_var_raw
+    var = std * std - noise_std_raw * noise_std_raw
     ok = (var > 0) & jnp.isfinite(mu)
     vals = 2.0 * zeta * (mu - p.y_max) + \
         0.5 * jnp.log(jnp.where(ok, var, 1.0))
@@ -37,7 +41,7 @@ def _acq_values_gated(family, p: SurrogateParams, zeta, noise_var_raw,
 
 
 @partial(jax.jit, static_argnames=("family", "maxiter"))
-def _optimize_restarts(family, p: SurrogateParams, zeta, noise_var_raw,
+def _optimize_restarts(family, p: SurrogateParams, zeta, noise_std_raw,
                        x0s, lo, hi, maxiter=100):
     """
     Vmapped multistart bounded maximization of the *smooth* acquisition
@@ -48,7 +52,7 @@ def _optimize_restarts(family, p: SurrogateParams, zeta, noise_var_raw,
 
     def neg_acq(x):
         mu, std = surrogate_mean_std_smooth(family, p, x[None])
-        var = std[0] * std[0] - noise_var_raw
+        var = std[0] * std[0] - noise_std_raw * noise_std_raw
         mu_c = jnp.minimum(mu[0], p.clip_max)
         # smooth surrogate of the log-term; clipped from below to keep the
         # objective finite during line searches
@@ -60,7 +64,7 @@ def _optimize_restarts(family, p: SurrogateParams, zeta, noise_var_raw,
     # plain vmap over restarts (lax.map chunking crashes the TPU compiler,
     # see models/gp.py LBFGS_CHUNK note)
     xs, _ = jax.vmap(solve)(x0s)
-    vals = _acq_values_gated(family, p, zeta, noise_var_raw, xs)
+    vals = _acq_values_gated(family, p, zeta, noise_std_raw, xs)
     return xs, vals
 
 
@@ -108,7 +112,7 @@ class BatchOptimizer(GenericGPAcquisition):
             from gpry_tpu.models.gp import cast_surrogate
             p = cast_surrogate(p, jnp.float32)
         zeta = getattr(self.acq_func, "zeta", 1.0)
-        noise_var_raw = float(np.mean(np.square(gpr.noise_level)))
+        noise_std_raw = float(np.mean(gpr.noise_level))
         lo = jnp.asarray(bounds[:, 0], p.X.dtype)
         hi = jnp.asarray(bounds[:, 1], p.X.dtype)
         dt = p.X.dtype
@@ -128,7 +132,7 @@ class BatchOptimizer(GenericGPAcquisition):
             n_screen = min(10 * self.d * R, 4000)
             cand = self.proposer.get_batch(n_screen, rng)
             acq_cand = np.asarray(_acq_values_gated(
-                family, p, zeta, noise_var_raw, jnp.asarray(cand, dt)))
+                family, p, zeta, noise_std_raw, jnp.asarray(cand, dt)))
             self.obj_fun_eval_num += n_screen
             order = np.argsort(acq_cand)[::-1]
             starts = [cand[order[:R - 1]]]
@@ -145,7 +149,7 @@ class BatchOptimizer(GenericGPAcquisition):
 
             # --- vmapped multistart ascent
             xs, vals = _optimize_restarts(
-                family, p, zeta, noise_var_raw, jnp.asarray(x0s, dt),
+                family, p, zeta, noise_std_raw, jnp.asarray(x0s, dt),
                 lo, hi)
             vals = np.asarray(vals)
             xs = np.asarray(xs)
@@ -169,8 +173,7 @@ class BatchOptimizer(GenericGPAcquisition):
                 y_lie = float(np.min(gpr.y_train)) if gpr.n else 0.0
             y_lies[i] = y_lie
             if i + 1 < n_points:
-                if int(p.n) >= p.X.shape[0]:
-                    break  # padded buffers full; cannot condition further
+                # append_lie grows the padded buffers if the bucket is full
                 p = append_lie(family, p, jnp.asarray(best_x[None], dt),
                                jnp.asarray([y_lie], dt))
         self.mean, self.cov = None, None

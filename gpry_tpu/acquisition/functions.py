@@ -32,9 +32,16 @@ def is_acquisition_function(obj):
 
 class AcquisitionFunction:
     """
-    Base class.  Subclasses implement ``f(mu, std, baseline, noise_var,
-    **hyperparams)`` as a pure jittable function; ``__call__`` evaluates it
-    against a GPR (host API parity with the reference's callable protocol).
+    Base class.  Subclasses implement ``values(mu, std, y_max, noise_std)``
+    as a pure jittable function; ``__call__`` evaluates it against a GPR
+    (host API parity with the reference's callable protocol).
+
+    Noise convention (single, everywhere): ``noise_std`` is the noise
+    standard deviation sigma_n — the reference passes ``gp.noise_level``
+    (mean over per-point arrays) and squares it inside ``f``
+    (gpry/acquisition_functions.py:973-983, 1068-1074).  NORA and
+    BatchOptimizer pass exactly the same quantity, so acquisition values
+    agree bitwise across engines.
     """
 
     hasgradient = True
@@ -50,7 +57,7 @@ class AcquisitionFunction:
 
     # -- pure function surface ------------------------------------------------
 
-    def values(self, mu, std, y_max, noise_var):
+    def values(self, mu, std, y_max, noise_std):
         """Jittable acquisition values from raw-space (mu, std)."""
         raise NotImplementedError
 
@@ -63,22 +70,22 @@ class AcquisitionFunction:
                 return_std_grad=True)
         else:
             mu, std = gpr.predict(X, return_std=True)
-        noise_var = self._noise_var(gpr)
+        noise_std = self._noise_std(gpr)
         vals = np.asarray(self.values(
-            jnp.asarray(mu), jnp.asarray(std), gpr.y_max, noise_var))
+            jnp.asarray(mu), jnp.asarray(std), gpr.y_max, noise_std))
         if not eval_gradient:
             return vals
         g = self._gradient(np.asarray(mu), np.asarray(std),
                            np.asarray(gmu), np.asarray(gstd),
-                           gpr.y_max, noise_var)
+                           gpr.y_max, noise_std)
         return vals, g
 
     @staticmethod
-    def _noise_var(gpr):
+    def _noise_std(gpr):
         nl = gpr.noise_level
         return float(np.mean(nl)) if np.iterable(nl) else float(nl)
 
-    def _gradient(self, mu, std, gmu, gstd, y_max, noise_var):
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_std):
         raise NotImplementedError
 
 
@@ -101,23 +108,23 @@ class LogExp(AcquisitionFunction):
         self.zeta_scaling = zeta_scaling
         self._params = {"zeta": self.zeta, "sigma_n": sigma_n}
 
-    def values(self, mu, std, y_max, noise_var):
-        var = std * std - noise_var * noise_var
+    def values(self, mu, std, y_max, noise_std):
+        var = std * std - noise_std * noise_std
         ok = (var > 0) & jnp.isfinite(mu)
         safe_var = jnp.where(ok, var, 1.0)
         vals = 2.0 * self.zeta * (mu - y_max) + 0.5 * jnp.log(safe_var)
         return jnp.where(ok, vals, -jnp.inf)
 
-    def _noise_var(self, gpr):
+    def _noise_std(self, gpr):
         if self.sigma_n is not None:
             return float(self.sigma_n)
-        return super()._noise_var(gpr)
+        return super()._noise_std(gpr)
 
-    def _gradient(self, mu, std, gmu, gstd, y_max, noise_var):
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_std):
         # Reference gradient form (gpry/acquisition_functions.py:993-1007).
-        ok = (std**2 - noise_var**2 > 0) & np.isfinite(mu)
+        ok = (std**2 - noise_std**2 > 0) & np.isfinite(mu)
         g = np.where(ok[..., None],
-                     gstd / np.where(ok, std - noise_var, 1.0)[..., None]
+                     gstd / np.where(ok, std - noise_std, 1.0)[..., None]
                      + 2 * self.zeta * gmu,
                      np.inf)
         return g
@@ -135,7 +142,7 @@ class NonlinearLogExp(LogExp):
 
     hasgradient = False
 
-    def values(self, mu, std, y_max, noise_var):
+    def values(self, mu, std, y_max, noise_std):
         ok = (std > 0) & jnp.isfinite(mu)
         vals = 2.0 * self.zeta * (mu - y_max) + \
             jnp.log(jnp.expm1(jnp.where(ok, std, 1.0)))
@@ -150,10 +157,10 @@ class ConstantAcqFunc(AcquisitionFunction):
         self.fixed = fixed
         self._params = {"value": self.value}
 
-    def values(self, mu, std, y_max, noise_var):
+    def values(self, mu, std, y_max, noise_std):
         return jnp.where(jnp.isfinite(mu), self.value, -jnp.inf)
 
-    def _gradient(self, mu, std, gmu, gstd, y_max, noise_var):
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_std):
         return np.zeros_like(gmu)
 
 
@@ -164,10 +171,10 @@ class Mu(AcquisitionFunction):
         self.fixed = fixed
         self._params = {}
 
-    def values(self, mu, std, y_max, noise_var):
+    def values(self, mu, std, y_max, noise_std):
         return mu
 
-    def _gradient(self, mu, std, gmu, gstd, y_max, noise_var):
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_std):
         return gmu
 
 
@@ -178,24 +185,24 @@ class Std(AcquisitionFunction):
         self.fixed = fixed
         self._params = {}
 
-    def values(self, mu, std, y_max, noise_var):
+    def values(self, mu, std, y_max, noise_std):
         return jnp.where(jnp.isfinite(mu), std, -jnp.inf)
 
-    def _gradient(self, mu, std, gmu, gstd, y_max, noise_var):
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_std):
         return gstd
 
 
 class ExponentialMu(Mu):
     """exp(mu) (gpry/acquisition_functions.py:620; unused upstream)."""
 
-    def values(self, mu, std, y_max, noise_var):
+    def values(self, mu, std, y_max, noise_std):
         return jnp.exp(mu)
 
 
 class ExponentialStd(Std):
     """exp(std) - 1 (gpry/acquisition_functions.py:688; unused upstream)."""
 
-    def values(self, mu, std, y_max, noise_var):
+    def values(self, mu, std, y_max, noise_std):
         return jnp.where(jnp.isfinite(mu), jnp.expm1(std), -jnp.inf)
 
 
@@ -207,7 +214,7 @@ class ExpectedImprovement(AcquisitionFunction):
         self.fixed = fixed
         self._params = {"xi": self.xi}
 
-    def values(self, mu, std, y_max, noise_var):
+    def values(self, mu, std, y_max, noise_std):
         from jax.scipy.stats import norm
         ok = (std > 0) & jnp.isfinite(mu)
         s = jnp.where(ok, std, 1.0)
@@ -230,15 +237,15 @@ class _BinaryOp(AcquisitionFunction):
 
 
 class Sum(_BinaryOp):
-    def values(self, mu, std, y_max, noise_var):
-        return (self.f1.values(mu, std, y_max, noise_var)
-                + self.f2.values(mu, std, y_max, noise_var))
+    def values(self, mu, std, y_max, noise_std):
+        return (self.f1.values(mu, std, y_max, noise_std)
+                + self.f2.values(mu, std, y_max, noise_std))
 
 
 class Product(_BinaryOp):
-    def values(self, mu, std, y_max, noise_var):
-        return (self.f1.values(mu, std, y_max, noise_var)
-                * self.f2.values(mu, std, y_max, noise_var))
+    def values(self, mu, std, y_max, noise_std):
+        return (self.f1.values(mu, std, y_max, noise_std)
+                * self.f2.values(mu, std, y_max, noise_std))
 
 
 class Exponentiation(AcquisitionFunction):
@@ -246,5 +253,5 @@ class Exponentiation(AcquisitionFunction):
         self.f, self.exponent = f, float(exponent)
         self._params = {}
 
-    def values(self, mu, std, y_max, noise_var):
-        return self.f.values(mu, std, y_max, noise_var) ** self.exponent
+    def values(self, mu, std, y_max, noise_std):
+        return self.f.values(mu, std, y_max, noise_std) ** self.exponent

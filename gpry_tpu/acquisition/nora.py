@@ -178,10 +178,12 @@ class NORA(GenericGPAcquisition):
                                   atol=1e-12), axis=-1), axis=-1)
             X, y, sd = X[fresh], y[fresh], sd[fresh]
 
-        # 3. acquisition over the sample (one batched evaluation)
-        noise_var = float(np.mean(np.square(gpr.noise_level)))
+        # 3. acquisition over the sample (one batched evaluation).
+        # noise_std = mean noise std, squared inside values() — the single
+        # noise convention (reference: gpry/acquisition_functions.py:973-983).
+        noise_std = float(np.mean(gpr.noise_level))
         acq_fn = lambda yy, ss: np.asarray(self.acq_func.values(
-            jnp.asarray(yy), jnp.asarray(ss), gpr.y_max, noise_var))
+            jnp.asarray(yy), jnp.asarray(ss), gpr.y_max, noise_std))
         acq = acq_fn(y, sd)
 
         # 4. ranked-pool Kriging-believer selection

@@ -76,11 +76,16 @@ def save_checkpoint(path, truth, gpr, acquisition, convergence, options,
         "opt.pkl": options,
         "pro.pkl": progress,
     }
-    for fname, obj in objs.items():
-        with open(os.path.join(path, fname), "wb") as f:
-            dill.dump(obj, f)
-    # restore device arrays in the live object
-    _host_to_device(gpr)
+    # The GPR is mutated in place (device arrays -> host tuples) while
+    # dumping; restore it even when a dump raises (e.g. an unpicklable user
+    # loglike), or the live Runner would keep running with a corrupted GPR.
+    try:
+        for fname, obj in objs.items():
+            with open(os.path.join(path, fname), "wb") as f:
+                dill.dump(obj, f)
+    finally:
+        # restore device arrays in the live object
+        _host_to_device(gpr)
 
 
 def read_checkpoint(path, truth=None):

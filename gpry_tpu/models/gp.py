@@ -801,16 +801,19 @@ class GaussianProcessRegressor:
         """Snapshot the full prediction state as a jit-friendly pytree."""
         dt = self._dtype
         d = self.d
-        if hasattr(self.preprocessing_X, "loc"):
-            x_loc = np.asarray(self.preprocessing_X.loc, dtype=float)
-            x_scale = np.asarray(self.preprocessing_X.scale, dtype=float)
+        # Probe the fitted preprocessors for their affine parameters instead
+        # of trusting specific attribute names — raises (rather than silently
+        # predicting in the wrong space) for non-affine/non-diagonal ones.
+        from gpry_tpu.models.preprocessing import (affine_params_X,
+                                                   affine_params_y)
+        if getattr(self.preprocessing_X, "fitted", True):
+            x_loc, x_scale = affine_params_X(self.preprocessing_X, d)
         else:
             x_loc, x_scale = np.zeros(d), np.ones(d)
-        y_loc, y_scale = 0.0, 1.0
-        if getattr(self.preprocessing_y, "fitted", False) and \
-                hasattr(self.preprocessing_y, "mean_"):
-            y_loc = float(self.preprocessing_y.mean_)
-            y_scale = float(self.preprocessing_y.std_)
+        if getattr(self.preprocessing_y, "fitted", False):
+            y_loc, y_scale = affine_params_y(self.preprocessing_y)
+        else:
+            y_loc, y_scale = 0.0, 1.0
         if self.clip_factor is not None and self.n > 0:
             cf = self.clip_factor
             clip_max = cf * np.max(self.y_train) \

@@ -201,6 +201,50 @@ class Whitening:
         )
 
 
+def affine_params_X(pre, d):
+    """
+    Extract the diagonal-affine parameters ``(loc, scale)`` of a fitted
+    X-preprocessor by probing its ``transform``, so that
+    ``transform(x) == (x - loc) / scale`` — works for any diagonal affine
+    preprocessor (or pipeline of them), not just those exposing
+    ``loc``/``scale`` attributes.  Raises for non-diagonal (e.g. Whitening)
+    or non-affine transforms instead of silently assuming identity.
+    """
+    t0 = np.atleast_2d(pre.transform(np.zeros((1, d))))[0]
+    M = np.atleast_2d(pre.transform(np.eye(d))) - t0[None, :]
+    if not np.allclose(M, np.diag(np.diagonal(M)), atol=1e-12):
+        raise ValueError(
+            f"X-preprocessor {pre!r} is not a diagonal affine transform; "
+            "the device surrogate core cannot fold it in. Use "
+            "Normalize_bounds (or a diagonal pipeline).")
+    diag = np.diagonal(M).copy()
+    if np.any(diag == 0) or not np.all(np.isfinite(diag)):
+        raise ValueError(
+            f"X-preprocessor {pre!r} has a singular/non-finite transform.")
+    scale = 1.0 / diag
+    loc = -t0 * scale
+    return loc, scale
+
+
+def affine_params_y(pre):
+    """
+    Extract ``(loc, scale)`` of a fitted scalar-affine y-preprocessor such
+    that ``raw = transformed * scale + loc``.  Probes ``transform`` so
+    pipelines and custom affine preprocessors work; raises for non-affine.
+    """
+    t0, t1, t2 = np.asarray(
+        pre.transform(np.array([0.0, 1.0, 2.0])), dtype=float)
+    slope = t1 - t0
+    if slope == 0 or not np.isfinite(slope) or \
+            not np.isclose(t2 - t1, slope, rtol=1e-9, atol=1e-12):
+        raise ValueError(
+            f"y-preprocessor {pre!r} is not an affine transform; the "
+            "device surrogate core cannot fold it in.")
+    scale = 1.0 / slope
+    loc = -t0 * scale
+    return loc, scale
+
+
 class Pipeline_X:
     """Chain of X-preprocessors (reference: gpry/preprocessing.py:58)."""
 

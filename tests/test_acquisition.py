@@ -48,6 +48,72 @@ def test_logexp_formula():
     assert vals[3] == -np.inf           # sigma below noise
 
 
+def _reference_logexp(mu, std, y_max, sigma_n, zeta):
+    """Literal numpy transcription of the reference's BaseLogExp.__call__
+    + LogExp.f (gpry/acquisition_functions.py:973-992,1068-1074):
+    sigma_n is the noise *std* (mean of per-point stds), squared inside."""
+    mu, std = np.asarray(mu, float), np.asarray(std, float)
+    noise = np.mean(sigma_n) if np.iterable(sigma_n) else sigma_n
+    var = std**2 - noise**2
+    mask = (var > 0) & np.isfinite(mu)
+    values = np.full_like(std, -np.inf)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        values[mask] = 2 * zeta * (mu[mask] - y_max) + np.log(
+            np.sqrt(np.clip(std[mask]**2 - noise**2, 0.0, None)))
+    return values
+
+
+def test_logexp_golden_vs_reference_grid():
+    """Golden-value parity with the reference over a (mu, sigma, sigma_n)
+    grid, including per-point noise arrays (VERDICT round-1 item 3)."""
+    zeta = 4 ** (-0.85)
+    acq = LogExp(zeta=zeta)
+    mus = np.array([-50.0, -5.0, -0.1, 0.0, 3.0, -np.inf, np.nan])
+    stds = np.array([1e-4, 5e-3, 1e-2, 2e-2, 0.3, 1.0, 10.0])
+    for sigma_n in (1e-2, 0.1, np.full(7, 1e-2),
+                    np.array([1e-3, 1e-2, 0.3])):
+        mu_g, std_g = np.meshgrid(mus, stds)
+        mu_g, std_g = mu_g.ravel(), std_g.ravel()
+        for y_max in (0.0, 3.0):
+            got = np.asarray(acq.values(
+                jnp.asarray(mu_g), jnp.asarray(std_g), y_max,
+                float(np.mean(sigma_n))))
+            want = _reference_logexp(mu_g, std_g, y_max, sigma_n, zeta)
+            np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_engines_agree_on_acquisition_values(rng):
+    """NORA's acq_fn and BatchOptimizer's _acq_values_gated must produce
+    bitwise-identical acquisition values on the same surrogate (they had
+    three noise conventions in round 1)."""
+    from gpry_tpu.acquisition.batch_optimizer import _acq_values_gated
+    gpr = make_fitted_gpr(rng)
+    # inject per-point noise so the convention actually matters
+    Xn = rng.uniform(size=(4, 2))
+    yn = -0.5 * 25.0 * np.sum((Xn - 0.5)**2, axis=1)
+    gpr.append_to_data(Xn, yn, noise_level=np.full(4, 0.05),
+                       fit_gpr="simple")
+    p = gpr.surrogate_params()
+    cand = rng.uniform(size=(256, 2))
+    mu, sd = surrogate_predict(gpr.family, p, jnp.asarray(cand, p.X.dtype))
+    zeta = 2 ** (-0.85)
+    acq_obj = LogExp(zeta=zeta)
+    noise_std = float(np.mean(gpr.noise_level))
+    # NORA's path (acquisition/nora.py multi_add step 3)
+    vals_nora = np.asarray(acq_obj.values(mu, sd, gpr.y_max, noise_std))
+    # BatchOptimizer's jitted gated path
+    vals_bo = np.asarray(_acq_values_gated(
+        gpr.family, p, zeta, noise_std, jnp.asarray(cand, p.X.dtype)))
+    finite = np.isfinite(vals_nora)
+    assert np.array_equal(finite, np.isfinite(vals_bo))
+    np.testing.assert_allclose(vals_nora[finite], vals_bo[finite],
+                               rtol=1e-12, atol=0)
+    # and both match the reference formula
+    want = _reference_logexp(np.asarray(mu), np.asarray(sd),
+                             float(gpr.y_max), gpr.noise_level, zeta)
+    np.testing.assert_allclose(vals_nora[finite], want[finite], rtol=1e-10)
+
+
 def test_logexp_auto_zeta():
     """zeta = d**-0.85 by default (gpry/acquisition_functions.py:906-934)."""
     acq = LogExp(dimension=8)
@@ -72,7 +138,7 @@ def test_batch_optimizer_proposes_good_points(rng):
     rand = rng.uniform(size=(2000, 2))
     acq_rand = np.asarray(_acq_values_gated(
         gpr.family, p, engine.acq_func.zeta,
-        float(gpr.noise_level) ** 2, jnp.asarray(rand, p.X.dtype)))
+        float(gpr.noise_level), jnp.asarray(rand, p.X.dtype)))
     assert acq_vals[0] >= np.max(acq_rand) - 0.2
 
 
@@ -119,6 +185,45 @@ def test_ranked_pool_bulk_matches_sequential_conditioning(rng):
     assert np.allclose(X_sel, np.array(expected))
     # conditioned acq must be non-increasing down the pool
     assert np.all(np.diff(acq_sel) <= 1e-9)
+
+
+def test_append_lie_grows_full_bucket(rng):
+    """With n exactly at the bucket size, Kriging-believer conditioning must
+    grow the buffers instead of silently dropping the append (ADVICE r1)."""
+    from gpry_tpu import config
+    n = config.bucket_size(1)          # smallest bucket, filled exactly
+    gpr = make_fitted_gpr(rng, d=2, n=n)
+    p = gpr.surrogate_params()
+    assert int(p.n) == n == p.X.shape[0]
+    x_new = np.array([[0.31, 0.62]])
+    _, sd_before = surrogate_predict(gpr.family, p,
+                                     jnp.asarray(x_new, p.X.dtype))
+    p2 = append_lie(gpr.family, p, jnp.asarray(x_new, p.X.dtype),
+                    jnp.asarray([-1.0], p.X.dtype))
+    assert int(p2.n) == n + 1
+    assert p2.X.shape[0] > n
+    # conditioning must actually take effect (not a dropped scatter):
+    # std at the lie strictly decreases ...
+    _, sd_after = surrogate_predict(gpr.family, p2,
+                                    jnp.asarray(x_new, p2.X.dtype))
+    assert float(sd_after[0]) < 0.999 * float(sd_before[0])
+    # ... and the grown factorization matches a from-scratch refactorized
+    # model carrying the same appended point (fit_classifier=False keeps
+    # the preprocessors, hence theta's coordinates, unchanged)
+    import copy
+    gpr2 = copy.deepcopy(gpr)
+    gpr2.append_to_data(x_new, [-1.0], fit_gpr=False, fit_classifier=False)
+    x_probe = rng.uniform(size=(8, 2))
+    mu_a, sd_a = surrogate_predict(gpr.family, p2,
+                                   jnp.asarray(x_probe, p2.X.dtype))
+    mu_b, sd_b = gpr2.predict(x_probe, return_std=True)
+    # loose tolerance: incremental append vs full refactorization differ
+    # at ~1e-5 rel near-singular Schur complements, ample for believer lies
+    # (a dropped append would diverge by O(1))
+    np.testing.assert_allclose(np.asarray(mu_a), mu_b, rtol=1e-3,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sd_a), sd_b, rtol=1e-3,
+                               atol=1e-6)
 
 
 def test_nora_multi_add(rng):

@@ -170,3 +170,40 @@ def test_reference_proposer_uses_truth():
     prop = ReferenceProposer(t.bounds, truth=t)
     X = prop.get_batch(50, np.random.default_rng(0))
     assert np.all(np.abs(X) <= 1.0)  # drawn from the narrower ref box
+
+
+def test_affine_params_probing(rng):
+    """affine_params_X/_y recover (loc, scale) from any affine preprocessor
+    and reject non-diagonal/non-affine ones (ADVICE r1)."""
+    from gpry_tpu.models.preprocessing import (
+        Normalize_bounds, Normalize_y, NormalizeChi2_y, Pipeline_y,
+        Whitening, affine_params_X, affine_params_y)
+    bounds = np.array([[-3.0, 5.0], [10.0, 11.0]])
+    pre = Normalize_bounds(bounds)
+    loc, scale = affine_params_X(pre, 2)
+    np.testing.assert_allclose(loc, bounds[:, 0])
+    np.testing.assert_allclose(scale, bounds[:, 1] - bounds[:, 0])
+
+    y = rng.normal(size=50) * 7.0 - 3.0
+    pre_y = Normalize_y()
+    pre_y.fit(None, y)
+    loc, scale = affine_params_y(pre_y)
+    np.testing.assert_allclose(loc, pre_y.mean_)
+    np.testing.assert_allclose(scale, pre_y.std_)
+
+    # pipelines of affine transforms work through probing too
+    pre_c = NormalizeChi2_y(nsigma=1)
+    X = rng.uniform(size=(50, 2))
+    pre_c.fit(X, y)
+    pipe = Pipeline_y([pre_c])
+    loc, scale = affine_params_y(pipe)
+    z = pipe.transform(y)
+    np.testing.assert_allclose(z * scale + loc, y)
+
+    # whitening is affine but not diagonal: must raise, not silently
+    # fall back to identity
+    w = Whitening()
+    X = rng.multivariate_normal([0, 0], [[2.0, 1.5], [1.5, 2.0]], size=100)
+    w.fit(X, None)
+    with pytest.raises(ValueError):
+        affine_params_X(w, 2)
