@@ -99,19 +99,27 @@ class NORA(GenericGPAcquisition):
         nlive = self._nlive(gpr)
         max_dead = int(nlive * max(8, 2 * self.d))
         key = jax.random.PRNGKey(int(self.rng.integers(2**31)))
+        # DP-shard the per-step chain batch over the available mesh (the
+        # TPU analogue of PolyChord's MPI-parallel live-point evolution)
+        from gpry_tpu.parallel.mesh import available_mesh
+        mesh = available_mesh(p.X)
         res = run_nested_device(
             surrogate_logp_fn(gpr.family), p, key, lo, hi, nlive=nlive,
             num_repeats=int(self.num_repeats),
             precision_criterion=self.precision_criterion_target,
-            max_dead=max_dead)
+            max_dead=max_dead, mesh=mesh,
+            n_prior=int(self.nprior_per_nlive) * nlive)
         gpr.n_eval += int(res.n_calls)
         logw = np.asarray(res.logw)
         keep = np.isfinite(logw) & np.isfinite(np.asarray(res.logl))
         X = np.asarray(res.X)[keep]
         logp = np.asarray(res.logl)[keep]
         logw = logw[keep]
-        # predicted std over the sample (one batched device call)
-        _, sd = surrogate_predict(gpr.family, p, jnp.asarray(X, dt))
+        # predicted std over the sample (one batched, mesh-sharded call;
+        # the reference strided-splits this over MPI ranks,
+        # gpry/gp_acquisition.py:1110-1125)
+        from gpry_tpu.parallel.mesh import predict_maybe_sharded
+        _, sd = predict_maybe_sharded(gpr.family, p, jnp.asarray(X, dt))
         self.last_MC_X = X
         self.last_MC_logp = logp
         self.last_MC_logw = logw
@@ -126,8 +134,9 @@ class NORA(GenericGPAcquisition):
         (reference: gpry/gp_acquisition.py:875-919)."""
         p = gpr.surrogate_params()
         dt = p.X.dtype
-        mu, sd = surrogate_predict(gpr.family, p,
-                                   jnp.asarray(self.last_MC_X, dt))
+        from gpry_tpu.parallel.mesh import predict_maybe_sharded
+        mu, sd = predict_maybe_sharded(gpr.family, p,
+                                       jnp.asarray(self.last_MC_X, dt))
         mu = np.asarray(mu)
         self.last_MC_logw = self.last_MC_logw + (mu - self.last_MC_logp)
         self.last_MC_logp = mu

@@ -26,6 +26,13 @@ from gpry_tpu.acquisition.base import append_lie
 from gpry_tpu.models.gp import surrogate_predict
 
 
+def _predict(family, p, Xq):
+    """Row-sharded over the device mesh when available (identical results);
+    lazy import avoids a cycle at module load."""
+    from gpry_tpu.parallel.mesh import predict_maybe_sharded
+    return predict_maybe_sharded(family, p, Xq)
+
+
 class RankedPool:
     """
     Parameters
@@ -146,7 +153,7 @@ class RankedPool:
                 acq_cond = acq
             else:
                 p = self._conditioned_params(i)
-                _, sd_cond = surrogate_predict(
+                _, sd_cond = _predict(
                     self._family, p, jnp.asarray(X, p.X.dtype))
                 acq_cond = np.asarray(self._acq_func(y, np.asarray(sd_cond)))
                 # f32 conditioning can produce NaN on near-singular appends

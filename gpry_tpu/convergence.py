@@ -229,6 +229,9 @@ class GaussianKL(ConvergenceCriterion):
         self.limit_times = int(params.get("limit_times", self.d))
         self.n_steps = int(params.get(
             "n_draws_per_dimsquared", 10) * self.d ** 2)
+        # reject mean/cov from unconverged fallback MCMC (split-R-hat gate;
+        # the reference relies on Cobaya's R-1 for the same purpose)
+        self.rhat_limit = float(params.get("rhat_limit", 0.2))
         self.mean, self.cov = None, None
         self._n_good = 0
 
@@ -253,6 +256,11 @@ class GaussianKL(ConvergenceCriterion):
         X = s["X"]
         if len(X) < 2 * self.d:
             raise ConvergenceCheckError("Too few MC samples for mean/cov.")
+        rhat = s.get("rhat")
+        if rhat is not None and not (rhat - 1.0 < self.rhat_limit):
+            raise ConvergenceCheckError(
+                f"Fallback MCMC unconverged (split-R-hat = {rhat:.3f} > "
+                f"{1 + self.rhat_limit:.2f}); mean/cov unreliable.")
         return X.mean(axis=0), np.cov(X.T, ddof=1).reshape(self.d, self.d)
 
     def criterion_value(self, gp, gp_2=None, acquisition=None, **kwargs):

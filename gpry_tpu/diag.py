@@ -50,5 +50,49 @@ def diagnosis(runner, plot=False):
             runner.plot_progress()
         except Exception:
             pass
+        try:
+            plot_nora_sample(runner)
+        except Exception as excpt:  # plots must never kill the run
+            runner.log(f"[DIAG] NORA plot failed: {excpt}", 2)
     runner.log(f"[DIAG] {report}", 3)
     return report
+
+
+def plot_nora_sample(runner, path=None):
+    """
+    Per-iteration NORA dumps (reference: gpry/diag.py:152-218): a triangle
+    plot of the engine's last NS sample with the training set and any
+    stored fiducials overlaid, plus (d=2 only) contour maps of the
+    surrogate mean / std / acquisition.
+    """
+    import os
+
+    from gpry_tpu import plots as gplots
+    from gpry_tpu.acquisition.nora import NORA
+
+    acq_engine = runner.acquisition
+    if not isinstance(acq_engine, NORA) or acq_engine.last_MC_X is None:
+        return None
+    path = path or os.path.join(runner.checkpoint or ".", "images")
+    os.makedirs(path, exist_ok=True)
+    it = runner.current_iteration
+    X, logp, w = acq_engine.last_MC_sample()
+    gplots.plot_corner(
+        {"X": X, "logpost": logp, "weights": w},
+        params=runner.truth.params, gpr=runner.gpr,
+        fiducial_point=runner.fiducial_point,
+        fiducial_MC=runner.fiducial_MC,
+        save=os.path.join(path, f"NORA_iteration_{it:03d}.png"))
+    if runner.d == 2:
+        import numpy as np
+        noise_std = float(np.mean(runner.gpr.noise_level))
+        acq_fn = lambda mu, sd: np.asarray(acq_engine.acq_func.values(
+            mu, sd, runner.gpr.y_max, noise_std))
+        for what, kwargs in (("mean", {}), ("std", {}),
+                             ("acq", {"acq_func": acq_fn})):
+            gplots.plot_model_2d(
+                runner.gpr, what=what,
+                save=os.path.join(
+                    path, f"contours_{what}_iteration_{it:03d}.png"),
+                **kwargs)
+    return path

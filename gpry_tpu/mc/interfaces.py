@@ -184,7 +184,7 @@ class InterfaceUltraNest(NSInterface):
 
 
 class InterfaceNessai(NSInterface):
-    """Host nessai adapter placeholder (reference:
+    """Host nessai (flow-accelerated NS) adapter (reference:
     gpry/ns_interfaces.py:272-419).  Requires nessai."""
 
     def __init__(self, verbose=1, out_dir=None):
@@ -195,7 +195,49 @@ class InterfaceNessai(NSInterface):
             raise ImportError(
                 "nessai is not installed; use InterfaceDevice (the "
                 "on-device sampler) or install nessai.") from excpt
-        self.out_dir = out_dir
+        self.out_dir = out_dir or "./nessai_out"
+
+    def run(self, logp):
+        from nessai.flowsampler import FlowSampler
+        from nessai.model import Model as NessaiModel
+
+        d = self.bounds.shape[0]
+        names = self.params or [f"x{i}" for i in range(d)]
+        lo, hi = self.bounds[:, 0], self.bounds[:, 1]
+        log_volume = float(np.sum(np.log(hi - lo)))
+
+        class _SurrogateModel(NessaiModel):
+            """The surrogate log-posterior as a nessai Model: flat prior on
+            the bounds box; ``logp`` plays the likelihood."""
+
+            def __init__(inner):
+                inner.names = list(names)
+                inner.bounds = {n: [float(lo[i]), float(hi[i])]
+                                for i, n in enumerate(names)}
+
+            def log_prior(inner, x):
+                with np.errstate(divide="ignore"):
+                    return np.log(inner.in_bounds(x).astype(float)) \
+                        - log_volume
+
+            def log_likelihood(inner, x):
+                arr = np.stack([np.atleast_1d(x[n]) for n in inner.names],
+                               axis=-1)
+                return np.asarray(logp(np.atleast_2d(arr)))
+
+        sampler = FlowSampler(
+            _SurrogateModel(), output=self.out_dir,
+            nlive=self.nlive or 25 * d,
+            stopping=self.precision_criterion or 0.1,
+            seed=self.seed, resume=False, plot=False)
+        sampler.run(plot=False, save=False)
+        post = sampler.posterior_samples
+        X = np.stack([post[n] for n in names], axis=-1)
+        # nessai's logL is our logp (flat-prior likelihood); posterior
+        # samples come equal-weighted
+        return {"X": X, "logpost": np.asarray(post["logL"], dtype=float),
+                "weights": np.ones(len(X)),
+                "logZ": float(sampler.log_evidence)}
 
 
 _ns_interfaces = {

@@ -16,6 +16,27 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def split_rhat(chains):
+    """
+    Max (over dimensions) split-R-hat of an MCMC ensemble (Gelman-Rubin
+    with each chain split in half) — the on-device analogue of the
+    reference's reliance on Cobaya's cross-chain R-1
+    (gpry/convergence.py:430-472).  ``chains``: (n_chains, n_steps, d).
+    """
+    chains = np.asarray(chains)
+    m, n, d = chains.shape
+    half = n // 2
+    if half < 2 or m < 1:
+        return np.inf
+    segs = chains[:, :2 * half].reshape(m * 2, half, d)
+    means = segs.mean(axis=1)                     # (2m, d)
+    within = segs.var(axis=1, ddof=1).mean(axis=0)
+    between = half * means.var(axis=0, ddof=1)
+    var_plus = (half - 1) / half * within + between / half
+    return float(np.sqrt(var_plus / np.maximum(within, 1e-300)).max())
 
 
 @partial(jax.jit, static_argnames=("logp_fn", "n_chains", "n_steps",

@@ -34,11 +34,17 @@ from jax.scipy.special import logsumexp
 
 
 class NSResult(NamedTuple):
-    X: jnp.ndarray        # (max_dead + nlive, d): dead points then live
-    logl: jnp.ndarray     # (max_dead + nlive,)
-    logw: jnp.ndarray     # (max_dead + nlive,) unnormalized log-weights
+    X: jnp.ndarray        # (n_dead_buffer + nlive, d): dead points then live
+    logl: jnp.ndarray     # (n_dead_buffer + nlive,)
+    logw: jnp.ndarray     # (n_dead_buffer + nlive,) unnormalized log-weights
     n_dead: jnp.ndarray   # () int32: valid dead entries
-    logZ: jnp.ndarray     # () evidence estimate
+    #: Evidence estimate under the DETERMINISTIC volume approximation
+    #: log X_i = -i/nlive (no stochastic t-sampling), which biases logZ by
+    #: O(sqrt(n_dead)/nlive) nats (~0.4 observed at default settings).
+    #: Ample for acquisition ranking and sample reweighting — the uses in
+    #: this framework — but NOT a publication-grade evidence estimate; use
+    #: an external NS interface (mc.interfaces) if logZ itself is the goal.
+    logZ: jnp.ndarray
     n_calls: jnp.ndarray  # () int32: log-density evaluations
 
 
@@ -117,52 +123,97 @@ def _slice_chain(logl_fn, params, key, x0, logl0, lstar, chol, num_repeats,
 
 @partial(jax.jit,
          static_argnames=("logl_fn", "nlive", "num_repeats", "max_dead",
-                          "kill_batch"))
+                          "kill_batch", "mesh", "n_prior"))
 def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
                       num_repeats=10, precision_criterion=0.01,
-                      max_dead=5000, kill_batch=None):
+                      max_dead=5000, kill_batch=None, mesh=None,
+                      n_prior=None):
     """
     Run nested sampling on device.  ``logl_fn(params, X)`` is a jittable
     ``(nq, d) -> (nq,)`` log-density (e.g. the gated surrogate mean); it must
     be a *module-level function* (stable identity, so jit caches across
     calls) with all changing state in the traced ``params`` pytree.
     Uniform prior on the box [lo, hi].
+
+    ``n_prior`` (default ``nlive``): size of the initial prior sample, the
+    analogue of PolyChord's ``nprior`` (reference default ``10 * nlive``,
+    gpry/gp_acquisition.py:633).  The worst ``n_prior - nlive`` prior draws
+    are recorded as dead points with exact shrinking-live-count volume
+    bookkeeping, so a larger prior phase improves tail coverage without
+    biasing the evidence.
+
+    With ``mesh`` (a 1-D device mesh whose size divides the kill batch), the
+    per-step batch of slice-sampling chains is DP-sharded over the mesh —
+    the TPU analogue of PolyChord parallelizing its live-point evolution
+    over MPI ranks (gpry/ns_interfaces.py:199-207).  Chains are independent
+    lock-step lanes, so sharded and unsharded runs produce identical
+    samples.
     """
+    import numpy as np
+
     d = lo.shape[0]
     dtype = lo.dtype
     if kill_batch is None:
         kill_batch = max(1, nlive // 6)
     B = int(kill_batch)
+    if n_prior is None or n_prior < nlive:
+        n_prior = nlive
+    n_prior = int(n_prior)
+    k0_dead = n_prior - nlive          # prior-phase dead points (static)
+    max_dead_tot = k0_dead + max_dead
 
-    k0, key = jax.random.split(key)
-    live_X = jax.random.uniform(k0, (nlive, d), dtype) * (hi - lo) + lo
-    live_logl = logl_fn(params, live_X)
+    # Exact volume bookkeeping with a shrinking live count through the
+    # prior phase: dead point j was killed at live count n_at_kill(j), so
+    # X_prev(j) = exp(-sum_{i<j} 1/n_at_kill(i)) and its shell is
+    # X_prev (1 - exp(-1/n_at_kill)).  All static arrays.
+    idx_np = np.arange(max_dead_tot)
+    n_at_kill = np.where(idx_np < k0_dead, n_prior - idx_np,
+                         float(nlive)).astype(np.float64)
+    inv_n = 1.0 / n_at_kill
+    logx_prev_np = -(np.cumsum(inv_n) - inv_n)         # exclusive cumsum
+    log_shell_np = np.log(-np.expm1(-inv_n))
+    logx_prev = jnp.asarray(logx_prev_np, dtype)
+    log_shell = jnp.asarray(log_shell_np, dtype)
+    H0 = float(inv_n[:k0_dead].sum())   # volume consumed by the prior phase
 
-    dead_X = jnp.zeros((max_dead, d), dtype)
-    dead_logl = jnp.full((max_dead,), -jnp.inf, dtype)
+    # ---- prior phase: n_prior draws, worst k0_dead recorded dead ----------
+    k0_key, key = jax.random.split(key)
+    pool_X = jax.random.uniform(k0_key, (n_prior, d), dtype) \
+        * (hi - lo) + lo
+    pool_logl = logl_fn(params, pool_X)
+    order0 = jnp.argsort(pool_logl)
+    live_X = pool_X[order0[k0_dead:]]
+    live_logl = pool_logl[order0[k0_dead:]]
 
-    log_shell = jnp.log(jnp.expm1(1.0 / nlive))  # log(X_{i-1} - X_i) + i/nlive
+    dead_X = jnp.zeros((max_dead_tot, d), dtype)
+    dead_logl = jnp.full((max_dead_tot,), -jnp.inf, dtype)
+    if k0_dead:
+        dead_X = dead_X.at[:k0_dead].set(pool_X[order0[:k0_dead]])
+        dead_logl = dead_logl.at[:k0_dead].set(pool_logl[order0[:k0_dead]])
 
     def logz_dead(dead_logl, k):
-        idx = jnp.arange(max_dead)
-        logw = dead_logl - idx / nlive + log_shell
+        idx = jnp.arange(max_dead_tot)
+        logw = dead_logl + logx_prev + log_shell
         logw = jnp.where(idx < k, logw, -jnp.inf)
         return logsumexp(logw)
+
+    def logx_at(k):
+        return -(H0 + (k.astype(dtype) - k0_dead) / nlive)
 
     def outer_cond(state):
         key, live_X, live_logl, dead_X, dead_logl, k, calls = state
         logz_d = logz_dead(dead_logl, k)
-        logx = -k.astype(dtype) / nlive
+        logx = logx_at(k)
         logz_live = logsumexp(live_logl) - jnp.log(float(nlive)) + logx
         logz_tot = jnp.logaddexp(logz_d, logz_live)
         not_converged = (logz_live - logz_tot) > jnp.log(precision_criterion)
-        has_room = k + B <= max_dead
+        has_room = k + B <= max_dead_tot
         # plateau stop: if all live points share (numerically) the same
         # log-density — e.g. the surrogate's clipped flat top — further
         # compression gains nothing and the evidence criterion can never
         # trigger.
         spread = jnp.max(live_logl) - jnp.min(live_logl)
-        plateau = (k > nlive) & jnp.isfinite(spread) & \
+        plateau = (k - k0_dead > nlive) & jnp.isfinite(spread) & \
             (spread < 1e-9 * jnp.maximum(1.0, jnp.abs(jnp.max(live_logl))))
         # keep going while not converged (or nothing finite yet) and room
         return (not_converged | jnp.isinf(logz_tot)) & has_room & ~plateau
@@ -193,11 +244,22 @@ def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
         x0s = Xs[starts]
         l0s = live_logl[survive_idx][starts]
         chain_keys = jax.random.split(k_chains, B)
-        xs, ls, cs = jax.vmap(
-            lambda kk, x0, l0: _slice_chain(
-                logl_fn, params, kk, x0, l0, lstar, chol, num_repeats,
-                lo, hi)
-        )(chain_keys, x0s, l0s)
+
+        def chains(keys_b, x0_b, l0_b):
+            return jax.vmap(
+                lambda kk, x0, l0: _slice_chain(
+                    logl_fn, params, kk, x0, l0, lstar, chol, num_repeats,
+                    lo, hi)
+            )(keys_b, x0_b, l0_b)
+
+        if mesh is not None and B % mesh.shape["data"] == 0:
+            from jax.sharding import PartitionSpec as P
+            chains = jax.shard_map(
+                chains, mesh=mesh,
+                in_specs=(P("data"), P("data", None), P("data")),
+                out_specs=(P("data", None), P("data"), P("data")),
+                check_vma=False)
+        xs, ls, cs = chains(chain_keys, x0s, l0s)
 
         live_X = live_X.at[kill_idx].set(xs)
         live_logl = live_logl.at[kill_idx].set(ls)
@@ -205,15 +267,16 @@ def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
                 calls + jnp.sum(cs).astype(calls.dtype))
 
     state = (key, live_X, live_logl, dead_X, dead_logl,
-             jnp.asarray(0, jnp.int32), jnp.asarray(nlive, jnp.int32))
+             jnp.asarray(k0_dead, jnp.int32),
+             jnp.asarray(n_prior, jnp.int32))
     key, live_X, live_logl, dead_X, dead_logl, k, calls = \
         jax.lax.while_loop(outer_cond, outer_body, state)
 
     # Assemble weighted samples: dead points + final live points.
-    idx = jnp.arange(max_dead)
+    idx = jnp.arange(max_dead_tot)
     dead_logw = jnp.where(
-        idx < k, dead_logl - idx / nlive + log_shell, -jnp.inf)
-    logx_final = -k.astype(dtype) / nlive
+        idx < k, dead_logl + logx_prev + log_shell, -jnp.inf)
+    logx_final = logx_at(k)
     live_logw = live_logl + logx_final - jnp.log(float(nlive))
     X_all = jnp.concatenate([dead_X, live_X], axis=0)
     logl_all = jnp.concatenate([dead_logl, live_logl])

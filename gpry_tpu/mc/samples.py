@@ -50,6 +50,14 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
     Returns a samples dict: {"X", "logpost", "weights", "logZ"(NS only)}.
     """
     options = dict(options or {})
+    if sampler in ("cobaya_mcmc", "cobaya_polychord", "cobaya"):
+        # Surrogate-as-Cobaya-likelihood route (reference: gpry/mc.py:173)
+        from gpry_tpu.mc.cobaya_mc import mc_sample_from_gp_cobaya
+        flavor = "polychord" if sampler.endswith("polychord") else "mcmc"
+        return mc_sample_from_gp_cobaya(
+            gpr, bounds=bounds, params=options.pop("params", None),
+            sampler=flavor, covmat=options.pop("covmat", None),
+            add_options=options, rng=rng, verbose=verbose)
     bounds = check_and_return_bounds(
         bounds if bounds is not None else gpr.bounds)
     d = bounds.shape[0]
@@ -78,12 +86,13 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
                                   dtype=int, varname="num_repeats")
         max_dead = int(options.get("max_dead", max(4000, 60 * d * nlive //
                                                    max(1, d))))
+        from gpry_tpu.parallel.mesh import available_mesh
         res = run_nested_device(
             logp, p, key, lo, hi, nlive=int(nlive),
             num_repeats=int(num_repeats),
             precision_criterion=float(options.get("precision_criterion",
                                                   0.01)),
-            max_dead=max_dead)
+            max_dead=max_dead, mesh=available_mesh(p.X))
         logw = np.asarray(res.logw)
         keep = np.isfinite(logw)
         w = np.exp(logw[keep] - np.max(logw[keep]))
@@ -97,17 +106,26 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
         gpr.n_eval += int(res.n_calls)
         return out
     if sampler == "mcmc":
+        from gpry_tpu.mc.mcmc import split_rhat
         n_chains = int(options.get("n_chains", max(8, 2 * d)))
         n_steps = int(options.get("n_steps", 2000))
-        X, logpost = run_mcmc_device(
+        X3, logpost3 = run_mcmc_device(
             logp, p, key, lo, hi, n_chains=n_chains, n_steps=n_steps,
             covmat=options.get("covmat"))
-        X = np.asarray(X).reshape(-1, d)
-        logpost = np.asarray(logpost).ravel()
+        # cross-chain convergence diagnostic (the reference leans on
+        # Cobaya's R-1 here, gpry/convergence.py:430-472)
+        rhat = split_rhat(np.asarray(X3))
+        if verbose >= 2 and not (rhat - 1.0 < 0.1):
+            import warnings
+            warnings.warn(
+                f"On-device MCMC may not have converged: split-R-hat = "
+                f"{rhat:.3f} (> 1.1). Increase n_steps/n_chains.")
+        X = np.asarray(X3).reshape(-1, d)
+        logpost = np.asarray(logpost3).ravel()
         keep = np.isfinite(logpost)
         gpr.n_eval += n_chains * n_steps * 2
         return {"X": X[keep], "logpost": logpost[keep],
-                "weights": np.ones(int(keep.sum()))}
+                "weights": np.ones(int(keep.sum())), "rhat": rhat}
     if sampler == "uniform":
         # For tests only (reference: gpry/gp_acquisition.py:748-758).
         n = int(options.get("n_samples", 5000))

@@ -265,23 +265,41 @@ class GaussianProcessRegressor:
         kname = list(kernel)[0]
         kargs = kernel[kname] or {}
         fam = _KERNEL_ALIASES.get(kname.lower())
-        if fam is None:
-            raise ValueError("Currently only 'RBF' and 'Matern' are "
-                             f"supported. Got '{kname}'.")
-        if "nu" in kargs:
-            try:
-                fam = _NU_TO_FAMILY[float(kargs.pop("nu"))]
-            except KeyError as excpt:
-                raise ValueError(
-                    "Matern nu must be one of 0.5, 1.5, 2.5.") from excpt
-        if kargs:
-            raise ValueError(f"Unknown kernel arguments: {kargs}")
-        self.family = fam
-        # Initial hyperparameters at the geometric mean of the priors
-        # (reference: gpry/gpr.py:352-363), in preprocessed coordinates.
-        out0 = float(np.sqrt(output_scale_prior[0] * output_scale_prior[1]))
-        ls0 = float(np.sqrt(length_scale_prior[0] * length_scale_prior[1]))
-        self._theta = np.asarray(make_theta(out0, [ls0] * self.d))
+        self._theta_bounds_spec = None
+        _fast_keys = {"nu", "length_scale"}
+        if fam is not None and isinstance(kargs, dict) and \
+                not (set(kargs) - _fast_keys):
+            # Fast path: the reference's auto-built C() * RBF|Matern with
+            # ARD length scales (gpry/gpr.py:328-363).
+            kargs = dict(kargs)
+            if "nu" in kargs:
+                try:
+                    fam = _NU_TO_FAMILY[float(kargs.pop("nu"))]
+                except KeyError as excpt:
+                    raise ValueError(
+                        "Matern nu must be one of 0.5, 1.5, 2.5.") from excpt
+            self.family = fam
+            # Initial hyperparameters at the geometric mean of the priors
+            # (reference: gpry/gpr.py:352-363), in preprocessed coordinates.
+            out0 = float(np.sqrt(
+                output_scale_prior[0] * output_scale_prior[1]))
+            ls0 = kargs.pop("length_scale", None)
+            if ls0 is None:
+                ls0 = [float(np.sqrt(
+                    length_scale_prior[0] * length_scale_prior[1]))] * self.d
+            elif np.isscalar(ls0):
+                ls0 = [float(ls0)] * self.d
+            self._theta = np.asarray(make_theta(out0, ls0))
+        else:
+            # Extended kernel library: any sklearn-style kernel expression
+            # (RationalQuadratic, ExpSineSquared, DotProduct, WhiteKernel,
+            # ConstantKernel + Sum/Product/Exponentiation — reference
+            # gpry/kernels.py:435-702) compiled to a hashable spec tree.
+            from gpry_tpu.ops.kernels import build_kernel_spec
+            spec, theta0, bounds = build_kernel_spec(kernel, self.d)
+            self.family = spec
+            self._theta = np.asarray(theta0)
+            self._theta_bounds_spec = np.asarray(bounds)
         self.bounds_ = self.preprocessing_X.transform_bounds(self.bounds) \
             if hasattr(self.preprocessing_X, "transform_bounds") \
             else self.bounds
@@ -380,7 +398,12 @@ class GaussianProcessRegressor:
 
     @property
     def scales(self):
-        """(output_scale, length_scales) in raw coordinates."""
+        """(output_scale, length_scales) in raw coordinates.
+        Only defined for the auto-built C()*RBF/Matern kernels."""
+        if isinstance(self.family, tuple):
+            raise ValueError(
+                "'scales' is only defined for the auto-built C()*RBF/Matern"
+                " kernels; inspect 'kernel_theta' for extended kernels.")
         out = float(np.exp(0.5 * self._theta[0]))
         ls = np.exp(self._theta[1:])
         return (self.preprocessing_y.inverse_transform_scale(out),
@@ -390,6 +413,8 @@ class GaussianProcessRegressor:
     @property
     def theta_bounds(self):
         """Log-space hyperparameter optimization bounds."""
+        if self._theta_bounds_spec is not None:
+            return np.asarray(self._theta_bounds_spec)
         widths = None
         if hasattr(self.preprocessing_X, "transform_bounds"):
             b = self.preprocessing_X.transform_bounds(self.bounds)
@@ -724,22 +749,28 @@ class GaussianProcessRegressor:
                 cpu = jax.devices("cpu")[0]
                 args = tuple(jax.device_put(a, cpu) for a in args)
             dX, dy, t0s_d, lo_d, hi_d = args
+            # Restarts are DP-sharded over the device mesh when one is
+            # available (the TPU analogue of the reference's MPI restart
+            # split, gpry/run.py:1253-1293); single device runs the same
+            # math unsharded.
+            from gpry_tpu.parallel.mesh import \
+                fit_theta_restarts_maybe_sharded
             if n_restarts >= 2 * LBFGS_CHUNK:
                 # Two-phase: coarse pass on all restarts, polish the top
                 # LBFGS_CHUNK — most full-length iterations would only
                 # polish losing restarts (the vmap runs lock-step).
-                thetas1, nlls1 = _fit_theta_restarts(
+                thetas1, nlls1 = fit_theta_restarts_maybe_sharded(
                     self.family, dX, dy, n, self._noise_var_, t0s_d, lo_d,
                     hi_d, maxiter=min(20, maxiter), rel_jitter=rel_jitter)
                 nlls1 = np.asarray(nlls1)
                 order = np.argsort(np.where(np.isfinite(nlls1), nlls1,
                                             np.inf))
                 top = jnp.asarray(np.asarray(thetas1)[order[:LBFGS_CHUNK]])
-                thetas, nlls = _fit_theta_restarts(
+                thetas, nlls = fit_theta_restarts_maybe_sharded(
                     self.family, dX, dy, n, self._noise_var_, top, lo_d,
                     hi_d, maxiter=maxiter, rel_jitter=rel_jitter)
             else:
-                thetas, nlls = _fit_theta_restarts(
+                thetas, nlls = fit_theta_restarts_maybe_sharded(
                     self.family, dX, dy, n, self._noise_var_, t0s_d, lo_d,
                     hi_d, maxiter=maxiter, rel_jitter=rel_jitter)
             nlls = np.asarray(nlls)
@@ -860,8 +891,15 @@ class GaussianProcessRegressor:
             # gpry/gpr.py:1111-1133).
             out = [np.zeros(len(X))]
             if return_std:
-                out.append(np.full(len(X), float(np.exp(0.5 *
-                                                        self._theta[0]))))
+                if isinstance(self.family, tuple):
+                    from gpry_tpu.ops.kernels import spec_diag
+                    prior_std = np.sqrt(np.asarray(spec_diag(
+                        self.family, jnp.asarray(self._theta, self._dtype),
+                        jnp.asarray(X, self._dtype))))
+                    out.append(prior_std)
+                else:
+                    out.append(np.full(len(X),
+                                       float(np.exp(0.5 * self._theta[0]))))
             if return_mean_grad:
                 out.append(np.zeros_like(X))
             if return_std_grad:

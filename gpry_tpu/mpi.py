@@ -6,8 +6,14 @@ split embarrassingly-parallel batch axes across MPI ranks.  The TPU-native
 design replaces every use with batched/sharded device computation
 (see parallel/mesh.py), so this module provides the same *names* as
 single-process no-ops — user code and scripts written against the
-reference's module keep working, and an actual mpi4py world (if the user
-launches one) degrades gracefully: rank 0 does the work, others wait.
+reference's module keep working.
+
+Under an actual mpi4py world (the user launched mpirun) the design stays
+single-controller: ``Runner.run()`` executes the loop on rank 0 only, the
+other ranks block at a barrier and re-sync from the checkpoint when the
+loop finishes (see run.Runner.run).  Ranks do NOT each duplicate the loop.
+Per-rank RNGs (get_random_generator) exist for user code that wants rank-
+parallel truth evaluation around the Runner.
 """
 
 import numpy as np

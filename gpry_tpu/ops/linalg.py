@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-from gpry_tpu.ops.kernels import cross_kernel
+from gpry_tpu.ops.kernels import cross_kernel, kernel_diag
 
 
 def _row_mask(n, nmax, dtype):
@@ -42,6 +42,9 @@ def masked_kernel_matrix(family, theta, X, n, noise_var, rel_jitter=0.0):
     nmax = X.shape[0]
     m = _row_mask(n, nmax, X.dtype)
     K = cross_kernel(family, theta, X, X)
+    # same-point covariance can exceed the cross form's diagonal
+    # (WhiteKernel members, sklearn semantics); restore it before masking
+    K = K + jnp.diag(kernel_diag(family, theta, X) - jnp.diagonal(K))
     K = K * (m[:, None] * m[None, :])
     # noise_var may be a scalar or a per-point (nmax,) vector
     diag = jnp.broadcast_to(
@@ -107,8 +110,9 @@ def chol_append(family, theta, X, y, n, noise_var, L, X_new, y_new):
     else:
         noise_new = jax.lax.dynamic_slice(
             jnp.asarray(noise_var, dtype), (n,), (k,))
-    K22 = (cross_kernel(family, theta, X_new, X_new)
-           + jnp.diag(noise_new))
+    K22 = cross_kernel(family, theta, X_new, X_new)
+    K22 = K22 + jnp.diag(kernel_diag(family, theta, X_new)
+                         - jnp.diagonal(K22) + noise_new)
     S22 = jnp.linalg.cholesky(K22 - S12.T @ S12)                     # (k, k)
 
     # Write the new block rows of L: [S12^T, S22, 0].  S12^T columns >= n are
@@ -177,6 +181,6 @@ def predict_meanvar(family, theta, X, n, noise_var, L, alpha, Xq):
     Kq = cross_kernel(family, theta, Xq, X) * m[None, :]             # (nq, Nmax)
     mean = Kq @ alpha
     V = solve_triangular(L, Kq.T, lower=True)                        # (Nmax, nq)
-    prior_var = jnp.exp(theta[0])
+    prior_var = kernel_diag(family, theta, Xq)
     var = prior_var - jnp.sum(V * V, axis=0)
     return mean, jnp.maximum(var, 0.0)

@@ -14,6 +14,22 @@ from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
 
+# Worker-side cache of deserialized likelihood callables, keyed by payload
+# hash: the closure is shipped once as cloudpickle bytes (stock pickle
+# cannot carry lambdas/closures — the common case for user likelihoods) and
+# materialized once per worker process.
+_WORKER_FNS = {}
+
+
+def _call_pickled(payload, x):
+    import cloudpickle
+    key = hash(payload)
+    fn = _WORKER_FNS.get(key)
+    if fn is None:
+        fn = cloudpickle.loads(payload)
+        _WORKER_FNS[key] = fn
+    return fn(x)
+
 
 class TruthExecutor:
     """
@@ -30,9 +46,15 @@ class TruthExecutor:
         self.mode = mode
         self.max_workers = max_workers or min(32, (os.cpu_count() or 1))
         self._pool = None
+        self._payload = None
         if mode == "threads":
             self._pool = ThreadPoolExecutor(max_workers=self.max_workers)
         elif mode == "processes":
+            # cloudpickle the callable so closures/lambdas cross the
+            # process boundary (the reference uses dill for the same
+            # reason, gpry/mpi.py:7-11)
+            import cloudpickle
+            self._payload = cloudpickle.dumps(truth.logp)
             self._pool = ProcessPoolExecutor(max_workers=self.max_workers)
         elif mode != "serial":
             raise ValueError(f"Unknown executor mode '{mode}'.")
@@ -42,7 +64,11 @@ class TruthExecutor:
         X = np.atleast_2d(X)
         if self._pool is None:
             return np.array([self.truth.logp(x) for x in X])
-        futures = [self._pool.submit(self.truth.logp, x) for x in X]
+        if self._payload is not None:
+            futures = [self._pool.submit(_call_pickled, self._payload, x)
+                       for x in X]
+        else:
+            futures = [self._pool.submit(self.truth.logp, x) for x in X]
         return np.array([f.result() for f in futures])
 
     def shutdown(self):

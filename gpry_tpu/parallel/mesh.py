@@ -19,6 +19,9 @@ The reference's parallelism is MPI task-parallelism over batch axes
 Single-chip execution is the degenerate mesh; the same code paths run.
 """
 
+import contextlib
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,6 +38,60 @@ def make_mesh(devices=None, axis_name="data"):
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+# ---------------------------------------------------------------------------
+# Automatic mesh selection for the production loop
+# ---------------------------------------------------------------------------
+# The GP fit, NORA sweeps and ranked-pool conditioning dispatch through these
+# helpers: with >= 2 devices on the platform holding the arrays they shard
+# over the full 1-D mesh, otherwise they run the plain single-device path.
+# Sharding is row-/restart-parallel with no cross-shard reductions, so the
+# sharded and unsharded paths produce identical results.
+
+_MESH_CACHE = {}
+_MESH_ENABLED = True
+
+#: host-side counters of sharded-path dispatches (observability: lets the
+#: multichip dry run assert the production loop really used the mesh)
+SHARD_STATS = {"predict": 0, "fit": 0}
+
+
+@contextlib.contextmanager
+def mesh_disabled():
+    """Force the single-device code paths (for tests / A-B comparisons)."""
+    global _MESH_ENABLED
+    prev = _MESH_ENABLED
+    _MESH_ENABLED = False
+    try:
+        yield
+    finally:
+        _MESH_ENABLED = prev
+
+
+def available_mesh(x=None, platform=None, axis_name="data"):
+    """
+    Cached 1-D mesh over all devices of the platform holding ``x``
+    (or ``platform``), or None when fewer than 2 devices are available.
+    Never touches any backend other than the one the arrays live on.
+    """
+    if not _MESH_ENABLED:
+        return None
+    if platform is None:
+        if isinstance(x, jax.Array):
+            platform = next(iter(x.devices())).platform
+        else:
+            platform = jax.default_backend()
+    try:
+        devices = jax.devices(platform)
+    except RuntimeError:
+        return None
+    if len(devices) < 2:
+        return None
+    key = (platform, len(devices), axis_name)
+    if key not in _MESH_CACHE:
+        _MESH_CACHE[key] = Mesh(np.asarray(devices), (axis_name,))
+    return _MESH_CACHE[key]
 
 
 def pad_to_multiple(X, m, axis=0):
@@ -119,3 +176,68 @@ def tp_predict_mean(family, theta, X, alpha, n, x_loc, x_scale, y_loc,
 def device_put_sharded_rows(X, mesh, axis_name="data"):
     """Place an array with its leading axis sharded over the mesh."""
     return jax.device_put(X, NamedSharding(mesh, P(axis_name)))
+
+
+# ---------------------------------------------------------------------------
+# Production entry points (used by models.gp / acquisition when a mesh is up)
+# ---------------------------------------------------------------------------
+
+
+def predict_maybe_sharded(family, p, Xq, min_rows=256, axis_name="data"):
+    """
+    Gated surrogate prediction with the row axis DP-sharded over the
+    available mesh (one jitted shard_map; rows padded to a mesh multiple).
+    Falls back to the plain single-device call for small batches or a
+    single device.  Row-parallel with no reductions: results are identical
+    to ``surrogate_predict``.
+    """
+    mesh = available_mesh(Xq)
+    nq = Xq.shape[0]
+    if mesh is None or nq < max(min_rows, 2 * mesh.shape[axis_name]):
+        return surrogate_predict(family, p, Xq)
+    SHARD_STATS["predict"] += 1
+    Xp, _ = pad_to_multiple(Xq, mesh.shape[axis_name])
+    mean, std = sharded_predict(family, p, Xp, mesh, axis_name=axis_name)
+    return mean[:nq], std[:nq]
+
+
+@partial(jax.jit,
+         static_argnames=("family", "mesh", "maxiter", "axis_name"))
+def _sharded_fit_theta(family, X, y, n, noise_var, theta0s, lo, hi, mesh,
+                       maxiter=200, rel_jitter=0.0, axis_name="data"):
+    """Restart-sharded multi-start LML fit body (same math as
+    models.gp._fit_theta_restarts, restarts DP over the mesh — the TPU
+    analogue of the reference's MPI restart split, gpry/run.py:1253-1293)."""
+    tol = 1e-8 if theta0s.dtype == jnp.float64 else 1e-4
+
+    def local(t0s_shard):
+        def nll(theta):
+            return -masked_lml(family, theta, X, y, n, noise_var, rel_jitter)
+
+        solve = lambda t0: minimize_lbfgs_bounded(nll, t0, lo, hi,
+                                                  maxiter=maxiter, tol=tol)
+        return jax.vmap(solve)(t0s_shard)
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(P(axis_name, None),),
+                       out_specs=(P(axis_name, None), P(axis_name)),
+                       check_vma=False)
+    return fn(theta0s)
+
+
+def fit_theta_restarts_maybe_sharded(family, X, y, n, noise_var, theta0s,
+                                     lo, hi, maxiter=200, rel_jitter=0.0):
+    """
+    Multi-restart LML fit, restart axis DP-sharded when a mesh is available
+    and divides the restart count; identical results either way (each
+    restart is an independent lock-step L-BFGS lane).
+    """
+    from gpry_tpu.models.gp import _fit_theta_restarts
+    mesh = available_mesh(X)
+    n_restarts = theta0s.shape[0]
+    if mesh is not None and n_restarts % mesh.shape["data"] == 0:
+        SHARD_STATS["fit"] += 1
+        return _sharded_fit_theta(family, X, y, n, noise_var, theta0s, lo,
+                                  hi, mesh, maxiter=maxiter,
+                                  rel_jitter=rel_jitter)
+    return _fit_theta_restarts(family, X, y, n, noise_var, theta0s, lo, hi,
+                               maxiter=maxiter, rel_jitter=rel_jitter)

@@ -72,15 +72,19 @@ def plot_trace(gpr, save=None, show=False):
     return _finish(fig, save, show)
 
 
-def plot_slices(truth, gpr, n_points=101, save=None, show=False):
-    """1-d slices of truth vs surrogate through the best training point
-    (reference: gpry/plots.py:165-407)."""
+def plot_slices(truth, gpr, n_points=101, X_ref=None, save=None,
+                show=False):
+    """1-d slices of truth vs surrogate through ``X_ref`` (default: the
+    best training point) (reference: gpry/plots.py:165-407)."""
     plt = _plt()
     d = gpr.d
     bounds = np.asarray(truth.prior_bounds if truth is not None
                         else gpr.bounds)
-    x0 = gpr.X_train[np.argmax(gpr.y_train)] if gpr.n else \
-        bounds.mean(axis=1)
+    if X_ref is not None:
+        x0 = np.atleast_1d(np.asarray(X_ref, dtype=float))
+    else:
+        x0 = gpr.X_train[np.argmax(gpr.y_train)] if gpr.n else \
+            bounds.mean(axis=1)
     fig, axes = plt.subplots(1, d, figsize=(4 * d, 3.2), squeeze=False)
     for i in range(d):
         ax = axes[0, i]
@@ -93,6 +97,7 @@ def plot_slices(truth, gpr, n_points=101, save=None, show=False):
         if truth is not None:
             yt = np.array([truth.logp(x) for x in Xq])
             ax.plot(grid, yt, "k--", label="truth")
+        ax.axvline(x0[i], color="tab:blue", ls=":", alpha=0.6)
         ax.set_xlabel(f"x_{i + 1}")
         if i == 0:
             ax.set_ylabel("log(p)")
@@ -100,21 +105,102 @@ def plot_slices(truth, gpr, n_points=101, save=None, show=False):
     return _finish(fig, save, show)
 
 
-def plot_corner(samples_dict, params=None, gpr=None, truth_samples=None,
-                save=None, show=False):
+def plot_slices_reference(truth, gpr, X_ref, plot_truth=True, n_points=101,
+                          save=None, show=False):
+    """Slices of surrogate (and optionally truth) through a fixed
+    reference/fiducial point (reference: gpry/plots.py:309-407)."""
+    return plot_slices(truth if plot_truth else None, gpr,
+                       n_points=n_points, X_ref=X_ref, save=save, show=show)
+
+
+def param_samples_for_slices(X, i, bounds_i, n=200):
+    """Slice grids along coordinate ``i`` for each row of ``X``: returns
+    (len(X), n, d) (reference: gpry/plots.py:129-160)."""
+    X = np.atleast_2d(np.asarray(X, dtype=float))
+    grid = np.linspace(bounds_i[0], bounds_i[1], n)
+    out = np.repeat(X[:, None, :], n, axis=1)
+    out[:, :, i] = grid[None, :]
+    return out
+
+
+def plot_slices_func(truth, gpr, acquisition=None, X=None, n_points=200,
+                     max_points=20, save=None, show=False):
     """
-    Corner plot of an MC sample, with training points overlaid
-    (reference: gpry/plots.py:412-676 via getdist; matplotlib fallback).
+    Per-point slices of the surrogate (top row) and the acquisition
+    (bottom row, when given) along each coordinate, lines colored by the GP
+    mean at the sliced point (reference: gpry/plots.py:246-307).
+    ``X`` defaults to the (up to ``max_points`` best) training points.
+    """
+    plt = _plt()
+    import matplotlib as mpl
+    d = gpr.d
+    bounds = np.asarray(truth.prior_bounds if truth is not None
+                        else gpr.bounds)
+    if X is None:
+        X = np.copy(gpr.X_train)
+        y = np.copy(gpr.y_train)
+        if len(y) > max_points:
+            top = np.argsort(y)[-max_points:]
+            X, y = X[top], y[top]
+    else:
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        y = gpr.predict(X)
+    nrows = 2 if acquisition is not None else 1
+    fig, axes = plt.subplots(nrows, d, figsize=(4 * d, 2.6 * nrows),
+                             squeeze=False, sharex="col")
+    span = max(float(np.max(y) - np.min(y)), 1e-30)
+    cmap = mpl.colormaps["viridis"]
+    for i in range(d):
+        Xs = param_samples_for_slices(X, i, bounds[i], n=n_points)
+        for j in range(len(X)):
+            color = cmap((y[j] - np.min(y)) / span)
+            mu, sd = gpr.predict(Xs[j], return_std=True)
+            axes[0, i].plot(Xs[j][:, i], mu, c=color, lw=1)
+            axes[0, i].scatter([X[j, i]], [y[j]], color=color, s=10)
+            if acquisition is not None:
+                acq = acquisition.acq_func(Xs[j], gpr) \
+                    if hasattr(acquisition, "acq_func") \
+                    else acquisition(Xs[j], gpr)
+                a = np.where(np.isfinite(acq), acq, np.nan)
+                axes[-1, i].plot(Xs[j][:, i], a, c=color, lw=1)
+        axes[0, i].set_ylabel(r"$\log(p)$" if i == 0 else "")
+        if acquisition is not None and i == 0:
+            axes[-1, i].set_ylabel(r"$\alpha(\mu,\sigma)$")
+        axes[-1, i].set_xlabel(f"x_{i + 1}")
+    return _finish(fig, save, show)
+
+
+def plot_corner(samples_dict, params=None, gpr=None, truth_samples=None,
+                fiducial_point=None, fiducial_MC=None, save=None,
+                show=False):
+    """
+    Corner plot of an MC sample, with training points, a fiducial point
+    (marker lines) and/or a fiducial MC sample (unfilled reference
+    contours) overlaid (reference: gpry/plots.py:412-676 via getdist;
+    matplotlib fallback).
     """
     X = np.asarray(samples_dict["X"])
     w = np.asarray(samples_dict.get("weights", np.ones(len(X))))
     d = X.shape[1]
     names = params or [f"x_{i + 1}" for i in range(d)]
+    fid = np.atleast_1d(np.asarray(fiducial_point, dtype=float)) \
+        if fiducial_point is not None else None
     try:
         from getdist import MCSamples, plots as gdplots
-        gds = MCSamples(samples=X, weights=w, names=names)
+        to_plot = [MCSamples(samples=X, weights=w, names=names)]
+        filled = [True]
+        legend = ["surrogate MC"]
+        if fiducial_MC is not None:
+            Xf = np.asarray(fiducial_MC["X"])
+            wf = np.asarray(fiducial_MC.get("weights", np.ones(len(Xf))))
+            to_plot = [MCSamples(samples=Xf, weights=wf, names=names)] \
+                + to_plot
+            filled = [False] + filled
+            legend = ["fiducial MC"] + legend
+        markers = dict(zip(names, fid)) if fid is not None else None
         gdp = gdplots.get_subplot_plotter()
-        gdp.triangle_plot([gds], filled=True)
+        gdp.triangle_plot(to_plot, filled=filled, legend_labels=legend,
+                          markers=markers)
         fig = gdp.fig
         if gpr is not None:
             getdist_add_training(gdp, names, gpr)
@@ -124,6 +210,10 @@ def plot_corner(samples_dict, params=None, gpr=None, truth_samples=None,
     plt = _plt()
     fig, axes = plt.subplots(d, d, figsize=(2.2 * d, 2.2 * d),
                              squeeze=False)
+    Xf = wf = None
+    if fiducial_MC is not None:
+        Xf = np.asarray(fiducial_MC["X"])
+        wf = np.asarray(fiducial_MC.get("weights", np.ones(len(Xf))))
     for i in range(d):
         for j in range(d):
             ax = axes[i, j]
@@ -133,11 +223,18 @@ def plot_corner(samples_dict, params=None, gpr=None, truth_samples=None,
             if i == j:
                 ax.hist(X[:, i], bins=40, weights=w, density=True,
                         histtype="step")
+                if Xf is not None:
+                    ax.hist(Xf[:, i], bins=40, weights=wf, density=True,
+                            histtype="step", color="k", ls="--")
+                if fid is not None:
+                    ax.axvline(fid[i], color="tab:red", ls=":")
             else:
                 ax.hist2d(X[:, j], X[:, i], bins=40, weights=w)
                 if gpr is not None and gpr.n:
                     ax.plot(gpr.X_train[:, j], gpr.X_train[:, i], "r.",
                             ms=2)
+                if fid is not None:
+                    ax.plot([fid[j]], [fid[i]], "r*", ms=10)
             if i == d - 1:
                 ax.set_xlabel(names[j])
             if j == 0:

@@ -87,7 +87,24 @@ class Runner:
                     getattr(self.truth, "_loglike_orig", None)):
                 self.truth = get_truth(loglike, bounds=bounds,
                                        params=params, ref_bounds=ref_bounds)
+            # Restore loop runtime state so a resumed run is equivalent to
+            # an uninterrupted one: the iteration counter (drives the
+            # fit_full_every cadence) and the RNG stream.
+            runtime = self.options.pop("_runtime", None) \
+                if isinstance(self.options, dict) else None
+            if runtime:
+                self.current_iteration = int(
+                    runtime.get("current_iteration", 0))
+                rng_state = runtime.get("rng_state")
+                if rng_state is not None and seed is None:
+                    self.rng.bit_generator.state = rng_state
             self._load_options(self.options)
+            # Re-link the single RNG stream into components that drop
+            # theirs on pickling.
+            if hasattr(self.acquisition, "rng"):
+                self.acquisition.rng = self.rng
+            if hasattr(self.gpr, "_rng"):
+                self.gpr._rng = self.rng
         else:
             if loglike is None:
                 raise ValueError("'loglike' is required unless resuming.")
@@ -290,7 +307,35 @@ class Runner:
     def run(self):
         """
         The active-learning loop (reference: gpry/run.py:776-1061).
+
+        Under a real multi-rank MPI launch the TPU build is
+        single-controller: rank 0 runs the loop (all device parallelism is
+        batched/mesh-sharded, parallel/mesh.py), the other ranks block at a
+        barrier and then re-sync from the checkpoint — instead of N ranks
+        silently duplicating the whole loop and racing on the checkpoint
+        files.
         """
+        from gpry_tpu import mpi
+        if mpi.multiple_processes and not mpi.is_main_process:
+            self.log("Multi-rank MPI launch: rank 0 runs the loop; "
+                     f"rank {mpi.RANK} waits (single-controller design).",
+                     _VERBOSITY_WARN)
+            mpi.sync_processes()
+            if self.checkpoint is not None and \
+                    bool(np.all(gio.check_checkpoint(self.checkpoint))):
+                (self.truth, self.gpr, self.acquisition,
+                 self.convergence_criterion, self.options,
+                 self.progress) = gio.read_checkpoint(self.checkpoint)
+                self.options.pop("_runtime", None)
+            return self
+        try:
+            self._run_main_loop()
+        finally:
+            if mpi.multiple_processes:
+                mpi.sync_processes()
+        return self
+
+    def _run_main_loop(self):
         if not self._resumed and self.gpr.n_total == 0:
             self.do_initial_training()
             self._save_checkpoint()
@@ -580,9 +625,14 @@ class Runner:
         if self.checkpoint is None:
             return
         try:
+            options = dict(self.options)
+            options["_runtime"] = {
+                "current_iteration": int(self.current_iteration),
+                "rng_state": self.rng.bit_generator.state,
+            }
             gio.save_checkpoint(
                 self.checkpoint, self.truth, self.gpr, self.acquisition,
-                self.convergence_criterion, self.options, self.progress)
+                self.convergence_criterion, options, self.progress)
         except Exception as excpt:
             self.log(f"Checkpoint saving failed: {excpt}", _VERBOSITY_WARN)
 
@@ -616,7 +666,9 @@ class Runner:
             raise ValueError("No MC sample generated yet.")
         return gplots.plot_corner(
             self.last_mc_result, params=self.truth.params,
-            gpr=self.gpr if add_training else None, save=output)
+            gpr=self.gpr if add_training else None,
+            fiducial_point=self.fiducial_point,
+            fiducial_MC=self.fiducial_MC, save=output)
 
     def plot_distance_distribution(self, output=None):
         """Reference: gpry/run.py:1866."""

@@ -82,3 +82,50 @@ def test_ensure_gpr_roundtrip(tmp_path):
     mu_direct = runner.gpr.predict(runner.gpr.X_train[:2])
     gpr2 = gio.ensure_gpr(ckpt)
     assert np.allclose(gpr2.predict(gpr2.X_train[:2]), mu_direct)
+
+
+class _StopLoop(Exception):
+    pass
+
+
+def test_resume_equals_continuous(tmp_path):
+    """A run interrupted mid-loop and resumed must produce exactly the same
+    trajectory as an uninterrupted run: the checkpoint restores the
+    iteration counter (fit_full_every cadence) and the RNG stream
+    (VERDICT r1 weak #5)."""
+    m = random_gaussian(d=2, rng=11)
+    opts = {"max_total": 24, "max_initial": 12, "n_points_per_acq": 2}
+
+    r_cont = Runner(m.loglike, bounds=m.bounds, seed=13, verbose=1,
+                    options=opts, convergence_criterion="DontConverge",
+                    checkpoint=str(tmp_path / "cont"),
+                    load_checkpoint="overwrite")
+    r_cont.run()
+
+    def stop_at_3(runner):
+        if runner.current_iteration == 3:
+            raise _StopLoop
+
+    r_int = Runner(m.loglike, bounds=m.bounds, seed=13, verbose=1,
+                   options=opts, convergence_criterion="DontConverge",
+                   callback=stop_at_3,
+                   checkpoint=str(tmp_path / "int"),
+                   load_checkpoint="overwrite")
+    with pytest.raises(_StopLoop):
+        r_int.run()
+    n_at_interrupt = r_int.gpr.n_total
+    del r_int
+
+    r_res = Runner(m.loglike, bounds=m.bounds, verbose=1,
+                   checkpoint=str(tmp_path / "int"),
+                   load_checkpoint="resume")
+    assert r_res.current_iteration == 2   # checkpoint from end of iter 2
+    assert r_res.gpr.n_total < n_at_interrupt  # iter-3 points not yet saved
+    r_res.run()
+
+    np.testing.assert_allclose(r_res.gpr.X_train_all,
+                               r_cont.gpr.X_train_all, rtol=1e-12)
+    np.testing.assert_allclose(r_res.gpr.y_train_all,
+                               r_cont.gpr.y_train_all, rtol=1e-12)
+    np.testing.assert_allclose(r_res.gpr.kernel_theta,
+                               r_cont.gpr.kernel_theta, rtol=1e-10)

@@ -141,3 +141,136 @@ def test_mpi_shim_single_process():
     arrays = [np.arange(10)[p] for p in parts]
     merged = mpi.merge_step_split(*arrays, n_proc=3)
     np.testing.assert_array_equal(merged, np.arange(10))
+
+
+def test_runner_mesh_matches_single_device(mesh8):
+    """The production loop dispatches its LML fits and sweeps through the
+    mesh-sharded paths when >1 device is up, and produces the SAME training
+    trajectory and hyperparameters as single-device execution (the sharding
+    is row-/restart-parallel with no cross-shard reductions)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from model_generator import random_gaussian
+    from gpry_tpu.run import Runner
+    from gpry_tpu.parallel.mesh import SHARD_STATS, mesh_disabled
+
+    def run_once():
+        m = random_gaussian(d=2, rng=5)
+        runner = Runner(
+            m.loglike, bounds=m.bounds, seed=5, verbose=1,
+            gp_acquisition={"NORA": {"nlive_max": 48,
+                                     "nlive_per_training": 16,
+                                     "num_repeats": 6, "mc_every": 2}},
+            convergence_criterion=False,
+            options={"n_initial": 6, "max_total": 12,
+                     "n_points_per_acq": 2},
+            mc="uniform")
+        runner.run()
+        return runner
+
+    stats0 = dict(SHARD_STATS)
+    r_mesh = run_once()
+    assert SHARD_STATS["fit"] > stats0["fit"], \
+        "mesh-sharded LML fit never dispatched"
+    assert SHARD_STATS["predict"] > stats0["predict"], \
+        "mesh-sharded prediction sweep never dispatched"
+    with mesh_disabled():
+        r_single = run_once()
+    # sharded vs full-batch gemm shapes reassociate reductions: allow ulp
+    # noise (~1e-15), which cannot flip the discrete trajectory decisions
+    np.testing.assert_allclose(r_mesh.gpr.X_train_all,
+                               r_single.gpr.X_train_all,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(r_mesh.gpr.y_train_all,
+                               r_single.gpr.y_train_all,
+                               rtol=1e-10, atol=1e-12)
+    # theta: the L-BFGS endpoint amplifies ulp input noise on the flat LML
+    # top (trajectory above is identical to 1e-15) — same optimum basin
+    np.testing.assert_allclose(r_mesh.gpr.kernel_theta,
+                               r_single.gpr.kernel_theta, rtol=1e-4)
+
+
+def test_nested_sampler_mesh_matches_single(mesh8, params):
+    """NS with the chain batch DP-sharded over the mesh returns the same
+    samples as the unsharded run (chains are independent lock-step lanes)."""
+    from gpry_tpu.mc.nested import run_nested_device
+    from gpry_tpu.mc.samples import surrogate_logp_fn
+    dt = params.X.dtype
+    lo = jnp.full(4, -1.0, dt)
+    hi = jnp.full(4, 2.0, dt)
+    key = jax.random.PRNGKey(3)
+    logp = surrogate_logp_fn("rbf")
+    kw = dict(nlive=48, num_repeats=6, precision_criterion=0.05,
+              max_dead=768)
+    res_s = run_nested_device(logp, params, key, lo, hi, mesh=mesh8, **kw)
+    res_1 = run_nested_device(logp, params, key, lo, hi, mesh=None, **kw)
+    assert int(res_s.n_dead) == int(res_1.n_dead)
+    np.testing.assert_allclose(np.asarray(res_s.X), np.asarray(res_1.X),
+                               atol=1e-12)
+    np.testing.assert_allclose(float(res_s.logZ), float(res_1.logZ),
+                               rtol=1e-10)
+
+
+def test_process_executor_with_closure():
+    """'processes' mode must work with closure/lambda likelihoods — the
+    common case — via cloudpickle (round-1 weak #4: stock pickling broke)."""
+    from gpry_tpu.parallel.executor import TruthExecutor
+
+    offset = np.array([1.5, -0.5, 0.25])
+
+    class _T:
+        pass
+
+    t = _T()
+    t.logp = lambda x: -float(np.sum((np.asarray(x) - offset) ** 2))
+    X = np.random.default_rng(1).normal(size=(6, 3))
+    expected = np.array([-np.sum((x - offset) ** 2) for x in X])
+    ex = TruthExecutor(t, mode="processes", max_workers=2)
+    try:
+        out = ex.logp_batch(X)
+    finally:
+        ex.shutdown()
+    np.testing.assert_allclose(out, expected)
+
+
+def test_runner_nonroot_rank_waits(monkeypatch, tmp_path):
+    """Under a multi-rank MPI world, non-root ranks must NOT duplicate the
+    loop: they wait at the barrier and re-sync from the checkpoint
+    (round-1 weak #9)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from model_generator import random_gaussian
+    from gpry_tpu import mpi
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=9)
+    ckpt = str(tmp_path / "mpi_ckpt")
+    # root run writes the checkpoint
+    r0 = Runner(m.loglike, bounds=m.bounds, seed=9, verbose=1,
+                options={"max_total": 14, "max_initial": 10},
+                convergence_criterion="DontConverge",
+                checkpoint=ckpt, load_checkpoint="overwrite")
+    r0.run()
+    n_expected = r0.gpr.n_total
+
+    barriers = []
+    monkeypatch.setattr(mpi, "multiple_processes", True)
+    monkeypatch.setattr(mpi, "is_main_process", False)
+    monkeypatch.setattr(mpi, "RANK", 1)
+    monkeypatch.setattr(mpi, "sync_processes", lambda: barriers.append(1))
+    truth_evals = {"n": 0}
+
+    def counting_loglike(x):
+        truth_evals["n"] += 1
+        return m.loglike(x)
+
+    r1 = Runner(counting_loglike, bounds=m.bounds, seed=9, verbose=1,
+                options={"max_total": 14, "max_initial": 10},
+                convergence_criterion="DontConverge",
+                checkpoint=ckpt, load_checkpoint="resume")
+    r1.run()
+    assert barriers == [1]              # waited at the barrier
+    assert truth_evals["n"] == 0        # did NOT duplicate the loop
+    assert r1.gpr.n_total == n_expected  # state re-synced from checkpoint
