@@ -39,42 +39,47 @@ def make_data(seed=0):
     return bounds, X, y
 
 
-def bench_ours(n_iters=7):
+def bench_ours(n_iters=9, engine="nora"):
     import gpry_tpu  # noqa: F401
     from gpry_tpu.models.gp import GaussianProcessRegressor
     from gpry_tpu.models.preprocessing import Normalize_bounds, Normalize_y
-    from gpry_tpu.acquisition import NORA
+    from gpry_tpu.acquisition import NORA, BatchOptimizer
 
     bounds, X, y = make_data()
     gpr = GaussianProcessRegressor(
         bounds=bounds, preprocessing_X=Normalize_bounds(bounds),
         preprocessing_y=Normalize_y(), random_state=0, verbose=1)
     gpr.append_to_data(X, y, fit_gpr=False)
-    nora = NORA(bounds, acq_func={"LogExp": {"dimension": D}},
-                rng=np.random.default_rng(1), verbose=1)
+    if engine == "nora":
+        acq = NORA(bounds, acq_func={"LogExp": {"dimension": D}},
+                   rng=np.random.default_rng(1), verbose=1)
+    else:
+        acq = BatchOptimizer(bounds,
+                             acq_func={"LogExp": {"dimension": D}},
+                             random_state=1, verbose=1)
 
     # warmup: compile everything once (cached afterwards)
     gpr.fit_gpr_hyperparameters(n_restarts=N_RESTARTS)
-    nora._iter_since_mc = None
-    nora.multi_add(gpr, n_points=N_BATCH)
+    acq._iter_since_mc = None
+    acq.multi_add(gpr, n_points=N_BATCH)
 
     times = []
     for i in range(n_iters):
-        nora._iter_since_mc = None  # force a fresh NS run each iteration
+        acq._iter_since_mc = None  # NORA: force a fresh NS each iteration
         t0 = time.perf_counter()
         gpr.fit_gpr_hyperparameters(n_restarts=N_RESTARTS)
         t_fit = time.perf_counter() - t0
-        nora.multi_add(gpr, n_points=N_BATCH)
+        acq.multi_add(gpr, n_points=N_BATCH)
         times.append(time.perf_counter() - t0)
-        print(f"# iter {i}: fit={t_fit:.2f}s acq={times[-1] - t_fit:.2f}s",
-              file=sys.stderr)
+        print(f"# {engine} iter {i}: fit={t_fit:.2f}s "
+              f"acq={times[-1] - t_fit:.2f}s", file=sys.stderr)
     # The per-iteration device work is deterministic (seeded: the NS does
     # ~685k surrogate calls every iteration, +/-3%), but the TPU sits
     # behind a shared tunnel whose latency fluctuates by up to 60x between
     # identical runs.  For deterministic work the minimum is the standard
     # noise-free estimator (cf. timeit); the full distribution is printed
-    # to stderr above.
-    return float(np.min(times))
+    # to stderr above, and the median is reported alongside.
+    return float(np.min(times)), float(np.median(times))
 
 
 def bench_reference():
@@ -116,7 +121,11 @@ def bench_reference():
 
 
 def main():
-    ours = bench_ours()
+    ours, ours_med = bench_ours(engine="nora")
+    # apples-to-apples companion: the reference baseline below runs
+    # BatchOptimizer (its NORA needs PolyChord/UltraNest, absent here), so
+    # also measure OUR BatchOptimizer for a same-engine ratio.
+    ours_bo, ours_bo_med = bench_ours(engine="batchoptimizer")
     try:
         ref = bench_reference()
     except Exception:
@@ -129,6 +138,10 @@ def main():
         "value": round(ours, 4),
         "unit": "s",
         "vs_baseline": round(ref / ours, 2),
+        "value_median": round(ours_med, 4),
+        "value_batchoptimizer": round(ours_bo, 4),
+        "vs_baseline_same_engine": round(ref / ours_bo, 2),
+        "baseline_reference_batchoptimizer_cpu_s": round(ref, 2),
     }))
 
 

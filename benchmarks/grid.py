@@ -18,6 +18,7 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent.parent / "tests"))
+sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
 def n_approx_conv(d):
@@ -71,10 +72,39 @@ def run_grid(d=4, n_runs=3, zeta_scaling=0.85, seed0=100, verbose=1):
 
 
 if __name__ == "__main__":
+    import json
+    import os
+
+    # The grid measures evals-to-convergence and posterior quality —
+    # hardware-independent — so it runs on CPU by default (the TPU tunnel's
+    # minutes-long compiles would dominate; pass --tpu to override).
+    if "--tpu" not in sys.argv:
+        import jax
+        jax.config.update("jax_default_device", "cpu")
+    sys.argv = [a for a in sys.argv if a != "--tpu"]
+
     d = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     res = run_grid(d=d, n_runs=n_runs)
     n_tot = [r["n_total"] for r in res]
     kls = [r["kl_final"] for r in res]
+    summary = {
+        "d": d,
+        "n_runs": n_runs,
+        "evals_to_stop": n_tot,
+        "evals_to_stop_median": float(np.median(n_tot)),
+        "reference_heuristic_3.5d2": n_approx_conv(d),
+        "kl_final": kls,
+        "kl_final_median": float(np.median(kls)),
+        "n_converged": int(sum(r["converged"] for r in res)),
+        "wall_s": [round(r["wall_s"], 1) for r in res],
+        "runs": [{k: v for k, v in r.items() if k != "kl_track"}
+                 for r in res],
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       f"results_d{d}.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=1, default=float)
     print(f"\nd={d}: evals-to-stop median {np.median(n_tot):.0f} "
-          f"(heuristic {n_approx_conv(d)}), KL median {np.median(kls):.4f}")
+          f"(heuristic {n_approx_conv(d)}), KL median {np.median(kls):.4f} "
+          f"-> {out}")

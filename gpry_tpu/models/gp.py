@@ -877,13 +877,20 @@ class GaussianProcessRegressor:
             trust_hi=jnp.asarray(trust_hi, dt),
         )
 
-    def predict(self, X, return_std=False, return_mean_grad=False,
-                return_std_grad=False, validate=True,
-                ignore_trust_region=False):
+    def predict(self, X, return_std=False, return_cov=False,
+                return_mean_grad=False, return_std_grad=False,
+                validate=True, ignore_trust_region=False):
         """
         Host-facing prediction with reference semantics
         (gpry/gpr.py:1022-1265).  Returns numpy arrays.
+        ``return_cov`` returns the full posterior covariance (raw-y units)
+        as the second output; it is exclusive with return_std, as in
+        sklearn.
         """
+        if return_cov and (return_std or return_mean_grad
+                           or return_std_grad):
+            raise ValueError(
+                "return_cov is exclusive with return_std and gradients.")
         X = np.atleast_2d(np.asarray(X, dtype=float))
         self.n_eval += len(X)
         if self._dL is None or self.n == 0:
@@ -911,6 +918,15 @@ class GaussianProcessRegressor:
                                              self._dtype),
                            trust_hi=jnp.full(self.d, jnp.inf, self._dtype))
         Xd = jnp.asarray(X, self._dtype)
+        if return_cov:
+            from gpry_tpu.ops.linalg import predict_meancov
+            mean, std = surrogate_predict(self.family, p, Xd)
+            Xq_ = (Xd - p.x_loc) / p.x_scale
+            _, cov_ = predict_meancov(
+                self.family, p.theta, p.X, p.n, p.noise_var, p.L,
+                p.alpha, Xq_)
+            cov = np.asarray(cov_) * float(p.y_scale) ** 2
+            return np.asarray(mean), cov
         mean, std = surrogate_predict(self.family, p, Xd)
         out = [np.asarray(mean)]
         if return_std:

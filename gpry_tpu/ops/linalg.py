@@ -169,6 +169,22 @@ def predict_mean(family, theta, X, n, alpha, Xq):
 
 
 @partial(jax.jit, static_argnames=("family",))
+def predict_meancov(family, theta, X, n, noise_var, L, alpha, Xq):
+    """
+    GP posterior mean and full covariance at ``Xq`` (nq, d), given the
+    padded factorization (reference: gpry/gpr.py predict(return_cov=True)).
+    """
+    nmax = X.shape[0]
+    m = _row_mask(n, nmax, X.dtype)
+    Kq = cross_kernel(family, theta, Xq, X) * m[None, :]             # (nq, Nmax)
+    mean = Kq @ alpha
+    V = solve_triangular(L, Kq.T, lower=True)                        # (Nmax, nq)
+    Kqq = cross_kernel(family, theta, Xq, Xq)
+    cov = Kqq - V.T @ V
+    return mean, cov
+
+
+@partial(jax.jit, static_argnames=("family",))
 def predict_meanvar(family, theta, X, n, noise_var, L, alpha, Xq):
     """
     GP posterior mean and latent variance at query points ``Xq`` (nq, d),

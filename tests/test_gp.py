@@ -218,3 +218,31 @@ def test_grad_predictions(rng):
         # compare with a tolerance scaled to sigma's magnitude
         assert np.allclose((sp - sm) / (2 * eps), gstd[:, j],
                            rtol=5e-2, atol=1e-3 * max(1e-3, std.max()))
+
+
+def test_predict_return_cov(rng):
+    """predict(return_cov=True) matches sklearn's posterior covariance
+    (reference: gpry/gpr.py:1022 return_cov)."""
+    from sklearn.gaussian_process import GaussianProcessRegressor as SkGPR
+    from sklearn.gaussian_process.kernels import RBF, ConstantKernel
+
+    d, n = 2, 25
+    bounds = np.array([[0.0, 1.0]] * d)
+    X = rng.uniform(size=(n, d))
+    y = np.sin(4 * X[:, 0]) + X[:, 1] ** 2
+    sk = SkGPR(kernel=ConstantKernel(1.5) * RBF([0.3, 0.4]), alpha=1e-4,
+               optimizer=None).fit(X, y)
+    Xq = rng.uniform(size=(7, d))
+    mu_sk, cov_sk = sk.predict(Xq, return_cov=True)
+
+    gpr = GaussianProcessRegressor(kernel="RBF", bounds=bounds,
+                                   noise_level=1e-2, account_for_inf=None,
+                                   clip_factor=None)
+    gpr._theta = np.log(np.array([1.5, 0.3, 0.4]))
+    gpr.append_to_data(X, y, fit_gpr=False)
+    mu, cov = gpr.predict(Xq, return_cov=True)
+    np.testing.assert_allclose(mu, mu_sk, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(cov, cov_sk, rtol=1e-6, atol=1e-10)
+    # exclusivity, as in sklearn
+    with pytest.raises(ValueError):
+        gpr.predict(Xq, return_std=True, return_cov=True)

@@ -79,17 +79,25 @@ def test_sharded_fit_restarts_runs(mesh8, params):
     with mesh8:
         thetas, nlls = sharded_fit_restarts(
             "rbf", params.X, params.y, params.n, 1e-4, theta0s, lo, hi,
-            mesh8, maxiter=10)
+            mesh8, maxiter=100)
     nlls = np.asarray(nlls)
     assert nlls.shape == (16,)
     assert np.isfinite(nlls).sum() >= 14
     # results must not depend on which shard a restart landed in: re-run
-    # single-device and compare the best objective to reasonable precision
+    # single-device at the same production-scale maxiter and compare EVERY
+    # restart's endpoint objective (catches shard-dependent optimizer
+    # trajectories, not just the argmin)
     from gpry_tpu.models.gp import _fit_theta_restarts
-    _, nlls_1 = _fit_theta_restarts("rbf", params.X, params.y, params.n,
-                                    1e-4, theta0s, lo, hi, maxiter=10)
-    assert np.isclose(np.nanmin(nlls), np.nanmin(np.asarray(nlls_1)),
-                      rtol=1e-6)
+    thetas_1, nlls_1 = _fit_theta_restarts(
+        "rbf", params.X, params.y, params.n, 1e-4, theta0s, lo, hi,
+        maxiter=100)
+    nlls_1 = np.asarray(nlls_1)
+    finite = np.isfinite(nlls) & np.isfinite(nlls_1)
+    assert np.array_equal(np.isfinite(nlls), np.isfinite(nlls_1))
+    np.testing.assert_allclose(nlls[finite], nlls_1[finite], rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(thetas)[finite],
+                               np.asarray(thetas_1)[finite],
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_truth_executor_modes():
