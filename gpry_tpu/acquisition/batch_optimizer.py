@@ -59,8 +59,11 @@ def _optimize_restarts(family, p: SurrogateParams, zeta, noise_std_raw,
         return -(2.0 * zeta * (mu_c - p.y_max)
                  + 0.5 * jnp.log(jnp.maximum(var, 1e-300)))
 
+    # dtype-matched gradient tolerance (see models/gp.py): default 1e-8
+    # is unreachable in f32 and burns all iterations on rounding noise
+    tol = 1e-8 if x0s.dtype == jnp.float64 else 1e-3
     solve = lambda x0: minimize_lbfgs_bounded(neg_acq, x0, lo, hi,
-                                              maxiter=maxiter)
+                                              maxiter=maxiter, tol=tol)
     # plain vmap over restarts (lax.map chunking crashes the TPU compiler,
     # see models/gp.py LBFGS_CHUNK note)
     xs, _ = jax.vmap(solve)(x0s)

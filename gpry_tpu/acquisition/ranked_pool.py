@@ -140,24 +140,49 @@ class RankedPool:
         else:
             raise ValueError(f"Unknown ranking method '{method}'.")
 
+    #: candidate counts are padded to a multiple of this so every
+    #: conditioned-prediction sweep reuses one compiled shape (shrinking
+    #: the array per step caused a fresh multi-second jit compile per
+    #: slot per NS-sample length)
+    ROW_BUCKET = 256
+
     def add_bulk(self, X, y, sigma, acq):
         """
         Vectorized greedy fill (reference: gpry/gp_acquisition.py:1337-1390).
+        Fixed-shape: selected/ineligible candidates are masked out instead
+        of removed, so all ``size`` conditioning sweeps share one compiled
+        shape.
         """
         keep = np.isfinite(acq)
         X, y, sigma, acq = X[keep], y[keep], sigma[keep], acq[keep]
+        n = len(X)
+        if n == 0:
+            return
+        pad = (-n) % self.ROW_BUCKET
+        if pad:
+            X = np.vstack([X, np.repeat(X[:1], pad, axis=0)])
+            y = np.concatenate([y, np.full(pad, y[0])])
+            sigma = np.concatenate([sigma, np.full(pad, sigma[0])])
+            acq = np.concatenate([acq, np.full(pad, -np.inf)])
+        alive = np.zeros(len(X), dtype=bool)
+        alive[:n] = True
+        p0 = self._params0()
+        Xd = jnp.asarray(X, p0.X.dtype)
         for i in range(self.size):
-            if len(X) == 0:
+            if not np.any(alive):
                 break
             if i == 0:
-                acq_cond = acq
+                acq_cond = np.where(alive, acq, -np.inf)
             else:
                 p = self._conditioned_params(i)
-                _, sd_cond = _predict(
-                    self._family, p, jnp.asarray(X, p.X.dtype))
+                _, sd_cond = _predict(self._family, p, Xd)
                 acq_cond = np.asarray(self._acq_func(y, np.asarray(sd_cond)))
-                # f32 conditioning can produce NaN on near-singular appends
-                acq_cond = np.where(np.isnan(acq_cond), -np.inf, acq_cond)
+                # f32 conditioning can produce NaN on near-singular appends;
+                # conditioned-ineligible candidates drop out permanently
+                # (as in the shrinking version)
+                acq_cond = np.where(alive & np.isfinite(acq_cond),
+                                    acq_cond, -np.inf)
+                alive &= np.isfinite(acq_cond)
             j = int(np.argmax(acq_cond))
             if not np.isfinite(acq_cond[j]):
                 break
@@ -165,9 +190,7 @@ class RankedPool:
             self.sigma[i], self.acq[i] = sigma[j], acq[j]
             self.acq_cond[i] = acq_cond[j]
             self._invalidate_from(i - 1 if i else 0)
-            sel = np.isfinite(acq_cond)
-            sel[j] = False
-            X, y, sigma, acq = X[sel], y[sel], sigma[sel], acq[sel]
+            alive[j] = False
 
     def add_one(self, X, y=None, sigma=None, acq=None):
         """

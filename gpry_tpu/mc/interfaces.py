@@ -86,11 +86,13 @@ class InterfaceDevice(NSInterface):
                 "InterfaceDevice needs a (jittable_fn, params) pair.")
         d = self.bounds.shape[0]
         key = jax.random.PRNGKey(int(self.rng.integers(2**31)))
+        from gpry_tpu.parallel.mesh import available_mesh
         res = run_nested_device(
             fn, params, key, lo, hi, nlive=self.nlive or 25 * d,
             num_repeats=self.num_repeats or 5 * d,
             precision_criterion=self.precision_criterion or 0.01,
-            max_dead=int((self.nlive or 25 * d) * max(10, 3 * d)))
+            max_dead=int((self.nlive or 25 * d) * max(10, 3 * d)),
+            n_prior=self.nprior, mesh=available_mesh(platform=None))
         logw = np.asarray(res.logw)
         keep = np.isfinite(logw)
         return {

@@ -183,21 +183,35 @@ def device_put_sharded_rows(X, mesh, axis_name="data"):
 # ---------------------------------------------------------------------------
 
 
-def predict_maybe_sharded(family, p, Xq, min_rows=256, axis_name="data"):
+def predict_maybe_sharded(family, p, Xq, min_rows=256, axis_name="data",
+                          row_bucket=256):
     """
-    Gated surrogate prediction with the row axis DP-sharded over the
-    available mesh (one jitted shard_map; rows padded to a mesh multiple).
-    Falls back to the plain single-device call for small batches or a
-    single device.  Row-parallel with no reductions: results are identical
-    to ``surrogate_predict``.
+    Gated surrogate prediction with (a) the row count padded up to a
+    multiple of ``row_bucket`` — bulk sweeps (NS samples, ranked-pool
+    conditioning) have run-dependent lengths, and without bucketing every
+    distinct length would trigger a fresh jit compile (~tens of seconds on
+    the TPU tunnel) — and (b) the row axis DP-sharded over the available
+    mesh.  Falls back to the plain single-device call for small batches.
+    Row-parallel with no reductions, padding sliced off: results are
+    identical to ``surrogate_predict``.
     """
     mesh = available_mesh(Xq)
     nq = Xq.shape[0]
-    if mesh is None or nq < max(min_rows, 2 * mesh.shape[axis_name]):
+    if nq < min_rows:
         return surrogate_predict(family, p, Xq)
-    SHARD_STATS["predict"] += 1
-    Xp, _ = pad_to_multiple(Xq, mesh.shape[axis_name])
-    mean, std = sharded_predict(family, p, Xp, mesh, axis_name=axis_name)
+    pad = (-nq) % row_bucket
+    Xp = Xq
+    if pad:
+        # dummy rows replicate row 0 (known in-bounds, finite)
+        Xp = jnp.concatenate(
+            [Xq, jnp.broadcast_to(Xq[:1], (pad, Xq.shape[1]))])
+    if mesh is None:
+        mean, std = surrogate_predict(family, p, Xp)
+    else:
+        SHARD_STATS["predict"] += 1
+        Xp, _ = pad_to_multiple(Xp, mesh.shape[axis_name])
+        mean, std = sharded_predict(family, p, Xp, mesh,
+                                    axis_name=axis_name)
     return mean[:nq], std[:nq]
 
 
@@ -208,7 +222,8 @@ def _sharded_fit_theta(family, X, y, n, noise_var, theta0s, lo, hi, mesh,
     """Restart-sharded multi-start LML fit body (same math as
     models.gp._fit_theta_restarts, restarts DP over the mesh — the TPU
     analogue of the reference's MPI restart split, gpry/run.py:1253-1293)."""
-    tol = 1e-8 if theta0s.dtype == jnp.float64 else 1e-4
+    # dtype-matched tolerance — keep in sync with models/gp.py
+    tol = 1e-8 if theta0s.dtype == jnp.float64 else 1e-3
 
     def local(t0s_shard):
         def nll(theta):

@@ -315,6 +315,22 @@ class Runner:
         silently duplicating the whole loop and racing on the checkpoint
         files.
         """
+        # Opt-in device profiling (SURVEY 5.1): GPRY_TPU_PROFILE=<dir>
+        # wraps the whole loop in a jax.profiler trace viewable in
+        # TensorBoard/Perfetto.
+        profile_dir = os.environ.get("GPRY_TPU_PROFILE")
+        if profile_dir:
+            import jax
+            jax.profiler.start_trace(profile_dir)
+            self.log(f"[PROFILE] tracing to {profile_dir}", _VERBOSITY_INFO)
+        try:
+            return self._run_mpi_guarded()
+        finally:
+            if profile_dir:
+                import jax
+                jax.profiler.stop_trace()
+
+    def _run_mpi_guarded(self):
         from gpry_tpu import mpi
         if mpi.multiple_processes and not mpi.is_main_process:
             self.log("Multi-rank MPI launch: rank 0 runs the loop; "
