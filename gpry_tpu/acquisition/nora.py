@@ -138,7 +138,11 @@ class NORA(GenericGPAcquisition):
         mu, sd = predict_maybe_sharded(gpr.family, p,
                                        jnp.asarray(self.last_MC_X, dt))
         mu = np.asarray(mu)
-        self.last_MC_logw = self.last_MC_logw + (mu - self.last_MC_logp)
+        with np.errstate(invalid="ignore"):
+            logw = self.last_MC_logw + (mu - self.last_MC_logp)
+        # points newly gated to -inf under the updated GP produce
+        # -inf - -inf = nan: they carry no posterior mass now
+        self.last_MC_logw = np.where(np.isfinite(logw), logw, -np.inf)
         self.last_MC_logp = mu
         self.last_MC_sigma = np.asarray(sd)
         gpr.n_eval += len(mu)

@@ -459,6 +459,61 @@ class GaussianProcessRegressor:
             np.asarray(y), self._diff_threshold_keep_n(),
             max_y=self.y_max if len(self.y_train) else None)
 
+    def predict_is_finite(self, X, validate=True):
+        """Classifier prediction at X: True where the surrogate treats the
+        point as finite (reference: gpry/gpr.py:526)."""
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        if self.infinities_classifier is None or \
+                self.infinities_classifier.n == 0:
+            return np.ones(len(X), dtype=bool)
+        X_ = np.atleast_2d(self.preprocessing_X.transform(X))
+        return np.asarray(self.infinities_classifier.predict(
+            X_, validate=validate), dtype=bool)
+
+    @property
+    def training_set_as_df(self):
+        """Training set as a pandas DataFrame (reference: gpry/gpr.py:490)."""
+        import pandas as pd
+        data = {f"x_{i + 1}": self.X_train_all[:, i]
+                for i in range(self.d)}
+        data["y"] = self.y_train_all
+        data["is_finite"] = self._is_finite_all()
+        return pd.DataFrame(data)
+
+    def set_random_state(self, random_state):
+        """Reset the RNG (reference: gpry/gpr.py:542)."""
+        self._rng = random_state if isinstance(
+            random_state, np.random.Generator) \
+            else np.random.default_rng(random_state)
+
+    @staticmethod
+    def compute_threshold_given_sigma(n_sigma, n_dimensions):
+        """Delta-logp depth of the n_sigma contour at dimension d
+        (reference: gpry/gpr.py:1468)."""
+        return delta_logp_of_1d_nstd(n_sigma, n_dimensions)
+
+    def remove_from_data(self, position, fit=True):
+        """
+        Remove training points by index (into the full appended set) and
+        refresh the model (reference: gpry/gpr.py:819).  ``fit``: True for
+        a hyperparameter refit, False for refactorization only.
+        """
+        position = np.atleast_1d(np.asarray(position, dtype=int))
+        n_all = len(self.y_train_all)
+        if np.any((position < 0) | (position >= n_all)):
+            raise ValueError(f"Invalid positions {position} for a training "
+                             f"set of size {n_all}.")
+        keep = np.ones(n_all, dtype=bool)
+        keep[position] = False
+        self.X_train_all = self.X_train_all[keep]
+        self.y_train_all = self.y_train_all[keep]
+        self.noise_level_all = self.noise_level_all[keep]
+        self.n_last_appended = 0
+        self.n_last_appended_finite = 0
+        # re-derive the finite training set and device state
+        return self.append_to_data(None, None,
+                                   fit_gpr=bool(fit))
+
     # ------------------------------------------------------------ data append
 
     def append_to_data(self, X, y, noise_level=None, fit_gpr=True,
@@ -484,10 +539,14 @@ class GaussianProcessRegressor:
             raise ValueError(f"Invalid fit_gpr={fit_gpr!r}")
         fit_preprocessors = bool(fit_classifier)
         force_fit_gpr = False
+        force_refresh = False
         if X is None and y is None:
+            # empty append: refresh the model for the current data (used
+            # by remove_from_data and forced refits)
             X = np.empty((0, self.d))
             y = np.empty((0,))
             force_fit_gpr = fit_gpr
+            force_refresh = True
         elif X is None or y is None:
             raise ValueError("Pass both X and y, or neither.")
         X = np.atleast_2d(np.asarray(X, dtype=float))
@@ -548,7 +607,8 @@ class GaussianProcessRegressor:
 
         self.n_last_appended_finite = int(
             np.sum(is_finite_all[len(is_finite_all) - self.n_last_appended:]))
-        if not self.n_last_appended_finite and not force_fit_gpr:
+        if not self.n_last_appended_finite and not force_fit_gpr \
+                and not force_refresh:
             return self
 
         # 4. GP training set = finite subset.
@@ -562,7 +622,8 @@ class GaussianProcessRegressor:
 
         if fit_gpr:
             self.fit_gpr_hyperparameters(**fit_gpr_kwargs)
-        elif (appended_only and not fit_preprocessors and self._dL is not None
+        elif (not force_refresh and appended_only and not fit_preprocessors
+              and self._dL is not None
               and len(y_finite) <= self._nmax and self._fitted
               and noise_level is None):
             # Fast path (Kriging-believer lies): incremental Cholesky

@@ -152,6 +152,39 @@ class Runner:
     def n_finite_left(self):
         return self.max_finite - self.gpr.n
 
+    @property
+    def params(self):
+        return self.truth.params
+
+    @property
+    def labels(self):
+        return self.truth.labels
+
+    # ---------------------------------------- evaluation conveniences
+    # (reference: gpry/run.py:615-668)
+
+    def logp(self, X):
+        """Surrogate log-posterior at X."""
+        return self.gpr.predict(np.atleast_2d(np.asarray(X, dtype=float)))
+
+    def logL(self, X):
+        """Surrogate log-likelihood at X (log-posterior minus flat
+        log-prior)."""
+        return self.logp(X) + self.truth.log_prior_volume
+
+    def logp_truth(self, X):
+        """True log-posterior at X (counts as truth evaluations)."""
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        return np.array([self.truth.logp(x) for x in X])
+
+    def logL_truth(self, X):
+        """True log-likelihood at X."""
+        return self.logp_truth(X) + self.truth.log_prior_volume
+
+    def logprior(self, X):
+        """Log-prior density at X."""
+        return self.truth.logprior(X)
+
     # ------------------------------------------------------------ construction
 
     def _construct_options(self, options):
@@ -555,6 +588,10 @@ class Runner:
         sampler = sampler or self._mc_options["sampler"]
         options = dict(self._mc_options["options"])
         options.update(add_options or {})
+        # inject the run's covariance estimate into MCMC-family samplers
+        # (reference: gpry/mc.py:106-156 mcmc_info_from_run cov injection)
+        if "mcmc" in str(sampler) and getattr(self, "cov", None) is not None:
+            options.setdefault("covmat", self.cov)
         result = mc_sample_from_gp(
             self.gpr, bounds=self.truth.prior_bounds, sampler=sampler,
             rng=rng or self.rng, options=options, verbose=self.verbose)
@@ -578,6 +615,18 @@ class Runner:
                                            params=self.truth.params)
         r = self.last_mc_result
         return r["X"], r["weights"], r["logpost"]
+
+    def last_mc_samples_pandas(self):
+        """Last MC samples as a pandas DataFrame
+        (reference: gpry/run.py:1716 as_pandas)."""
+        import pandas as pd
+        if self.last_mc_result is None:
+            raise ValueError("No MC sample generated yet.")
+        r = self.last_mc_result
+        data = {p: r["X"][:, i] for i, p in enumerate(self.truth.params)}
+        data["weight"] = r["weights"]
+        data["logpost"] = r["logpost"]
+        return pd.DataFrame(data)
 
     def diagnose_last_mc_sample(self):
         """
@@ -636,6 +685,20 @@ class Runner:
         }
 
     # ------------------------------------------------------------ checkpointing
+
+    def save_checkpoint(self, update_truth=False):
+        """Public checkpoint save (reference: gpry/run.py:736)."""
+        return self._save_checkpoint()
+
+    def read_checkpoint(self, truth=None):
+        """Reload the checkpoint objects into this Runner
+        (reference: gpry/run.py:723)."""
+        (self.truth, self.gpr, self.acquisition,
+         self.convergence_criterion, self.options,
+         self.progress) = gio.read_checkpoint(self.checkpoint, truth=truth)
+        if isinstance(self.options, dict):
+            self.options.pop("_runtime", None)
+        return self
 
     def _save_checkpoint(self):
         if self.checkpoint is None:

@@ -167,3 +167,21 @@ def test_wrapper_with_real_cobaya():
     runner = Runner(model, seed=0, verbose=1)
     runner.run()
     assert runner.last_mc_result is not None
+
+
+def test_yaml_schema_matches_defaults():
+    """The shipped declarative YAML (the analogue of the reference's
+    CobayaWrapper.yaml package data) must stay in sync with DEFAULTS."""
+    import os
+    import yaml
+    from gpry_tpu.cobaya import DEFAULTS
+
+    path = os.path.join(os.path.dirname(
+        __import__("gpry_tpu").__file__), "CobayaWrapper.yaml")
+    with open(path) as f:
+        schema = yaml.safe_load(f)
+    assert set(schema) == set(DEFAULTS)
+    # spot-check the documented defaults agree
+    for key in ("n_initial", "max_total", "n_points_per_acq", "mc_sampler",
+                "load_checkpoint", "verbose"):
+        assert schema[key] == DEFAULTS[key], key

@@ -207,3 +207,35 @@ def test_affine_params_probing(rng):
     w.fit(X, None)
     with pytest.raises(ValueError):
         affine_params_X(w, 2)
+
+
+def test_runner_api_conveniences(rng, tmp_path):
+    """Runner evaluation/IO conveniences (reference: gpry/run.py:615-775)."""
+    from gpry_tpu.run import Runner
+
+    def loglike(x):
+        return float(-0.5 * np.sum((np.asarray(x) / 0.3) ** 2))
+
+    ckpt = str(tmp_path / "api_ckpt")
+    r = Runner(loglike, bounds=np.array([[-1.0, 1.0]] * 2), seed=0,
+               verbose=1,
+               options={"max_total": 10, "n_initial": 6,
+                        "n_points_per_acq": 2},
+               convergence_criterion=False, mc="uniform",
+               checkpoint=ckpt, load_checkpoint="overwrite")
+    r.run()
+    x = np.array([[0.1, -0.1]])
+    # surrogate vs truth evaluation surfaces
+    assert np.isfinite(r.logp(x)[0])
+    np.testing.assert_allclose(r.logL(x),
+                               r.logp(x) + r.truth.log_prior_volume)
+    np.testing.assert_allclose(r.logp_truth(x)[0], loglike(x[0])
+                               + r.logprior(x)[0])
+    assert r.params == r.truth.params
+    df = r.last_mc_samples_pandas()
+    assert {"weight", "logpost"} <= set(df.columns)
+    # public checkpoint save/read round-trip
+    r.save_checkpoint()
+    n = r.gpr.n_total
+    r.read_checkpoint()
+    assert r.gpr.n_total == n

@@ -246,3 +246,37 @@ def test_predict_return_cov(rng):
     # exclusivity, as in sklearn
     with pytest.raises(ValueError):
         gpr.predict(Xq, return_std=True, return_cov=True)
+
+
+def test_remove_from_data_and_api_conveniences(rng):
+    """remove_from_data + predict_is_finite + training_set_as_df +
+    set_random_state (reference: gpry/gpr.py:490-542,819)."""
+    bounds = np.array([[0.0, 1.0]] * 2)
+    X = rng.uniform(size=(20, 2))
+    y = -0.5 * np.sum(((X - 0.5) / 0.2) ** 2, axis=1)
+    y[0] = -np.inf
+    gpr = GaussianProcessRegressor(
+        bounds=bounds, preprocessing_X=Normalize_bounds(bounds),
+        preprocessing_y=Normalize_y(), n_restarts_optimizer=4,
+        random_state=1)
+    gpr.append_to_data(X, y)
+    df = gpr.training_set_as_df
+    assert len(df) == 20 and "is_finite" in df
+    fin = gpr.predict_is_finite(X[1:4])
+    assert fin.shape == (3,)
+    assert np.isclose(
+        gpr.compute_threshold_given_sigma(20, 2),
+        gpr._diff_threshold)
+
+    n_before = gpr.n_total
+    # remove two points (incl. the -inf one), no refit
+    gpr.remove_from_data([0, 5], fit=False)
+    assert gpr.n_total == n_before - 2
+    assert not np.isin(-np.inf, gpr.y_train_all)
+    mu = gpr.predict(X[1:3])
+    np.testing.assert_allclose(mu, y[1:3], atol=0.5)
+    # with refit
+    gpr.remove_from_data([0], fit=True)
+    assert gpr.n_total == n_before - 3
+    gpr.set_random_state(123)
+    assert isinstance(gpr._rng, np.random.Generator)
