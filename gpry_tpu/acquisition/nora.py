@@ -84,8 +84,7 @@ class NORA(GenericGPAcquisition):
 
     # ------------------------------------------------------------- NS running
 
-    def _run_ns(self, gpr):
-        from gpry_tpu.mc.samples import surrogate_logp_fn
+    def _surrogate_sweep_params(self, gpr):
         from gpry_tpu.models.gp import cast_surrogate
         p = gpr.surrogate_params()
         # On TPU, run the NS sweep in float32 (f64 is emulated ~20x slower;
@@ -93,6 +92,20 @@ class NORA(GenericGPAcquisition):
         on_cpu = all(dev.platform == "cpu" for dev in p.X.devices())
         if not on_cpu and p.X.dtype == jnp.float64:
             p = cast_surrogate(p, jnp.float32)
+        return p
+
+    def _run_ns(self, gpr):
+        from gpry_tpu.mc.samples import surrogate_logp_fn
+        if self.sampler not in (None, "device"):
+            # Host engine (polychord/ultranest/nessai) with the reference's
+            # fallback chain (gpry/gp_acquisition.py:650-682), extended by
+            # the always-available on-device sampler.
+            from gpry_tpu.mc.interfaces import (InterfaceDevice,
+                                                init_nested_sampler)
+            iface = init_nested_sampler(self.sampler, verbose=self.verbose)
+            if not isinstance(iface, InterfaceDevice):
+                return self._run_ns_host(gpr, iface)
+        p = self._surrogate_sweep_params(gpr)
         dt = p.X.dtype
         lo = jnp.asarray(self.bounds[:, 0], dt)
         hi = jnp.asarray(self.bounds[:, 1], dt)
@@ -127,6 +140,43 @@ class NORA(GenericGPAcquisition):
         self.last_logZ = float(res.logZ)
         self.log(f"[NORA] NS run: {len(X)} samples, nlive={nlive}, "
                  f"logZ={self.last_logZ:.3f}, calls={int(res.n_calls)}",
+                 level=3)
+
+    def _run_ns_host(self, gpr, iface):
+        """NS via a host engine adapter; the surrogate likelihood it calls
+        is one batched jitted device predict per request."""
+        from gpry_tpu.models.gp import surrogate_predict_mean
+        p = self._surrogate_sweep_params(gpr)
+        dt = p.X.dtype
+
+        def logp_host(X):
+            X = np.atleast_2d(np.asarray(X, dtype=float))
+            return np.asarray(surrogate_predict_mean(
+                gpr.family, p, jnp.asarray(X, dt)), dtype=float)
+
+        nlive = self._nlive(gpr)
+        iface.set_prior(self.bounds)
+        iface.set_precision(
+            nlive=nlive, num_repeats=int(self.num_repeats),
+            precision_criterion=self.precision_criterion_target,
+            nprior=int(self.nprior_per_nlive) * nlive,
+            seed=int(self.rng.integers(2**31)))
+        res = iface.run(logp_host)
+        X = np.asarray(res["X"], dtype=float)
+        logp = np.asarray(res["logpost"], dtype=float)
+        w = np.asarray(res["weights"], dtype=float)
+        keep = np.isfinite(logp) & (w > 0)
+        X, logp, w = X[keep], logp[keep], w[keep]
+        gpr.n_eval += int(res.get("n_calls", len(X)))
+        from gpry_tpu.parallel.mesh import predict_maybe_sharded
+        _, sd = predict_maybe_sharded(gpr.family, p, jnp.asarray(X, dt))
+        self.last_MC_X = X
+        self.last_MC_logp = logp
+        self.last_MC_logw = np.log(w / np.max(w))
+        self.last_MC_sigma = np.asarray(sd)
+        self.last_logZ = float(res.get("logZ", np.nan))
+        self.log(f"[NORA] host NS run ({type(iface).__name__}): {len(X)} "
+                 f"samples, nlive={nlive}, logZ={self.last_logZ:.3f}",
                  level=3)
 
     def _reweight_last(self, gpr):

@@ -129,7 +129,12 @@ class InterfacePolyChord(NSInterface):
             settings.num_repeats = self.num_repeats
         if self.precision_criterion:
             settings.precision_criterion = self.precision_criterion
+        if self.nprior:
+            settings.nprior = self.nprior
+        if getattr(self, "seed", None) is not None:
+            settings.seed = int(self.seed)
         settings.base_dir = self.out_dir
+        settings.file_root = "gpry_tpu"
         settings.read_resume = False
         lo, hi = self.bounds[:, 0], self.bounds[:, 1]
 
@@ -141,12 +146,14 @@ class InterfacePolyChord(NSInterface):
 
         out = pypolychord.run_polychord(
             likelihood, d, 0, settings, prior)
-        dead = np.loadtxt(os.path.join(
-            self.out_dir, out.file_root + "_dead-birth.txt"))
-        X = dead[:, :d]
-        logl = -0.5 * dead[:, d]  # chi2 convention -> logp
-        return {"X": X, "logpost": logl,
-                "weights": np.ones(len(X)), "logZ": float(out.logZ)}
+        names = self.params or [f"x_{i}" for i in range(d)]
+        out.make_paramnames_files([(p, p) for p in names])
+        # Read the weighted posterior chain <root>.txt, getdist layout
+        # [weight, chi2 = -2 logp, params...] (the reference does the same,
+        # gpry/ns_interfaces.py:233-238; PolyChord stores chi2, not -logp).
+        samples = np.atleast_2d(np.loadtxt(out.root + ".txt"))
+        return {"X": samples[:, 2:2 + d], "logpost": -0.5 * samples[:, 1],
+                "weights": samples[:, 0], "logZ": float(out.logZ)}
 
 
 class InterfaceUltraNest(NSInterface):
@@ -172,16 +179,23 @@ class InterfaceUltraNest(NSInterface):
             return lo + cube * (hi - lo)
 
         sampler = ultranest.ReactiveNestedSampler(
-            [f"x{i}" for i in range(d)], lambda X: np.asarray(logp(X)),
+            self.params or [f"x_{i}" for i in range(d)],
+            lambda X: np.asarray(logp(X)),
             transform=transform, vectorized=True,
             log_dir=self.out_dir, resume="overwrite")
+        # precision_criterion maps to frac_remain, as in the reference
+        # (gpry/ns_interfaces.py:483); ultranest itself cannot be seeded
+        # (gpry/gp_acquisition.py:803-808).
         result = sampler.run(
             min_num_live_points=self.nlive or 25 * d,
-            dlogz=self.precision_criterion or 0.01,
+            frac_remain=self.precision_criterion or 0.01,
             viz_callback=None, show_status=False)
         ws = result["weighted_samples"]
-        return {"X": ws["points"], "logpost": ws["logl"],
-                "weights": ws["weights"],
+        w = np.asarray(ws["weights"], dtype=float)
+        keep = w > 0  # reference: tools.remove_0_weight_samples
+        return {"X": np.asarray(ws["points"])[keep],
+                "logpost": np.asarray(ws["logl"])[keep],
+                "weights": w[keep],
                 "logZ": float(result["logz"])}
 
 

@@ -79,6 +79,32 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
         seed = int(rng)
     key = jax.random.PRNGKey(seed if seed is not None else 0)
 
+    if sampler in ("polychord", "ultranest", "nessai"):
+        # Host NS engines over the surrogate (reference:
+        # gpry/mc.py:328-455 dispatching into gpry/ns_interfaces.py); the
+        # likelihood they see is one batched jitted device predict.
+        from gpry_tpu.mc.interfaces import _ns_interfaces
+        iface = _ns_interfaces[sampler](
+            verbose=verbose, out_dir=options.get("out_dir"))
+        iface.set_prior(bounds, params=options.get("params"))
+        nlive = get_Xnumber(options.get("nlive", "50d"), "d", d, dtype=int,
+                            varname="nlive")
+        num_repeats = get_Xnumber(options.get("num_repeats", "5d"), "d", d,
+                                  dtype=int, varname="num_repeats")
+        iface.set_precision(
+            nlive=int(nlive), num_repeats=int(num_repeats),
+            precision_criterion=float(options.get("precision_criterion",
+                                                  0.01)),
+            nprior=options.get("nprior"), seed=seed)
+
+        def logp_host(X):
+            X = np.atleast_2d(np.asarray(X, dtype=float))
+            return np.asarray(surrogate_predict_mean(
+                gpr.family, p, jnp.asarray(X, dt)), dtype=float)
+
+        out = iface.run(logp_host)
+        gpr.n_eval += int(out.get("n_calls", len(out["X"])))
+        return out
     if sampler == "nested":
         nlive = get_Xnumber(options.get("nlive", "50d"), "d", d, dtype=int,
                             varname="nlive")

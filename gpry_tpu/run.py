@@ -36,6 +36,7 @@ from gpry_tpu.utils.tools import (check_candidates, credibility_of_nstd,
                                   mean_covmat_from_samples)
 
 _VERBOSITY_ERROR, _VERBOSITY_WARN, _VERBOSITY_INFO = 1, 2, 3
+_VERBOSITY_DEBUG = 4
 
 
 class Runner:
@@ -145,6 +146,11 @@ class Runner:
         return getattr(self.truth, "model", None)
 
     @property
+    def prior_bounds(self):
+        """Prior bounds of the truth (reference: gpry/run.py:600)."""
+        return self.truth.prior_bounds
+
+    @property
     def n_total_left(self):
         return self.max_total - self.gpr.n_total
 
@@ -184,6 +190,14 @@ class Runner:
     def logprior(self, X):
         """Log-prior density at X."""
         return self.truth.logprior(X)
+
+    def logpost_eval_and_report(self, X, level=_VERBOSITY_DEBUG):
+        """Evaluate and return the true log-posterior at X, logging it
+        (reference: gpry/run.py:654-662)."""
+        self.log(f"Evaluating true posterior at\n{X}", level=level)
+        logp = self.logp_truth(X)
+        self.log(f"--> log(p) = {logp}", level=level)
+        return logp
 
     # ------------------------------------------------------------ construction
 
