@@ -858,8 +858,32 @@ class GaussianProcessRegressor:
                 f"lo={lo.round(2)}, hi={hi.round(2)}, "
                 f"X_ finite={bool(np.all(np.isfinite(np.asarray(self._dX))))}"
                 f", nlls[:4]={nlls[:4]}")
-        self._theta = np.asarray(thetas[best])
-        self.log_marginal_likelihood_value_ = -float(nlls[best])
+        # Winner selection by EXACT fit-dtype LML over the search endpoints
+        # (+ the incumbent theta).  The f32(+jitter) search objective
+        # carries O(1 nat) rounding noise on ill-conditioned kernels
+        # (measured on TPU: the sigmoid round-trip alone shifted the LML by
+        # ~2 nats near an optimum), so ranking restarts by their search
+        # values is a coin flip among basins and a refit seeded at the
+        # incumbent could land on a *worse* theta.  One batched exact LML
+        # makes the choice noise-free and refits monotone.
+        cand = np.asarray(thetas, dtype=float)
+        if self._fitted:
+            cand = np.vstack([cand, np.asarray(self._theta, dtype=float)])
+        lml_exact = np.asarray(_lml_batch(
+            self.family, self._dX, self._dy, n, self._noise_var_,
+            jnp.asarray(cand, dt)))
+        self.n_eval_loglike += len(cand)
+        if np.any(np.isfinite(lml_exact)):
+            best_e = int(np.argmax(np.where(np.isfinite(lml_exact),
+                                            lml_exact, -np.inf)))
+            self._theta = cand[best_e]
+            self.log_marginal_likelihood_value_ = float(lml_exact[best_e])
+        else:
+            # every endpoint non-PD without jitter: fall back to the
+            # search-objective ranking (the f64 factorization below will
+            # surface a LinAlgError if even the winner is unusable)
+            self._theta = np.asarray(thetas[best])
+            self.log_marginal_likelihood_value_ = -float(nlls[best])
         self._dL, self._dalpha = factorize(
             self.family, jnp.asarray(self._theta, dt), self._dX, self._dy,
             n, self._noise_var_)
