@@ -17,8 +17,41 @@ with value -inf where sigma^2 <= sigma_n^2 or mu is not finite
 (gpry/acquisition_functions.py:906-934, gpry/run.py:378).
 """
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _params_token(acqf):
+    """Recursive hashable snapshot of an acq function's live parameters."""
+    parts = [type(acqf).__name__]
+    parts += [f"{k}={v!r}" for k, v in sorted(acqf.get_params().items())]
+    for attr in ("f1", "f2", "f"):
+        child = getattr(acqf, attr, None)
+        if isinstance(child, AcquisitionFunction):
+            parts.append(_params_token(child))
+    return "|".join(parts)
+
+
+@partial(jax.jit, static_argnames=("key",))
+def _acq_values_impl(key, mu, std, y_max, noise_std):
+    return key[0].values(mu, std, y_max, noise_std)
+
+
+def acq_values_jit(acqf, mu, std, y_max, noise_std):
+    """
+    One-dispatch jitted evaluation of ``acqf.values``.  Eager values()
+    issues ~8 tiny device ops per call — through the TPU tunnel that is
+    most of the ranked-pool conditioning wall time, and every new sweep
+    length costs fresh per-op compiles.  The static jit key is
+    (instance, live-params token), so each (function, params, shape)
+    triple compiles once and ``set_params`` mutations never serve a stale
+    compilation.
+    """
+    return _acq_values_impl((acqf, _params_token(acqf)), mu, std, y_max,
+                            noise_std)
 
 
 def builtin_names():

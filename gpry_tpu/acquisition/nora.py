@@ -245,9 +245,21 @@ class NORA(GenericGPAcquisition):
         # noise_std = mean noise std, squared inside values() — the single
         # noise convention (reference: gpry/acquisition_functions.py:973-983).
         noise_std = float(np.mean(gpr.noise_level))
-        acq_fn = lambda yy, ss: np.asarray(self.acq_func.values(
-            jnp.asarray(yy), jnp.asarray(ss), gpr.y_max, noise_std))
-        acq = acq_fn(y, sd)
+        from gpry_tpu.acquisition.functions import acq_values_jit
+        acq_fn = lambda yy, ss: np.asarray(acq_values_jit(
+            self.acq_func, jnp.asarray(yy), jnp.asarray(ss), gpr.y_max,
+            noise_std))
+        # Bucket the sweep length to multiples of 256: the NS sample length
+        # varies run to run, and every distinct shape costs fresh per-op
+        # TPU compiles (measured ~4.6 s spikes).  -inf mean padding is
+        # acquisition-neutral (values() maps it to -inf).
+        npts = len(y)
+        pad = (-npts) % 256
+        if pad:
+            acq = acq_fn(np.concatenate([y, np.full(pad, -np.inf)]),
+                         np.concatenate([sd, np.ones(pad)]))[:npts]
+        else:
+            acq = acq_fn(y, sd)
 
         # 4. ranked-pool Kriging-believer selection
         pool = RankedPool(n_points, gpr, acq_fn, verbose=self.verbose)

@@ -157,7 +157,6 @@ def cast_surrogate(p: SurrogateParams, dtype):
 # crashes the TPU compiler (XLA buffer-assignment CHECK), while pure vmap
 # compiles fine (f32 width 32 in ~80 s).
 LBFGS_CHUNK = 8
-_LBFGS_CHUNK_PAD_MIN = 1  # pad any multi-restart fit to the chunk width
 
 
 @partial(jax.jit, static_argnames=("family",))
@@ -738,20 +737,25 @@ class GaussianProcessRegressor:
         bounds = np.asarray(hyperparameter_bounds if hyperparameter_bounds
                             is not None else self.theta_bounds)
         lo, hi = bounds[:, 0], bounds[:, 1]
-        # Pad the restart count up to a multiple of the LBFGS chunk width so
-        # one compiled chunk body covers every call (the extra restarts only
-        # add coverage; cf. the reference rounding restarts to the MPI world
-        # size, gpry/run.py:334-344).
-        if n_restarts > _LBFGS_CHUNK_PAD_MIN:
-            n_restarts = int(np.ceil(n_restarts / LBFGS_CHUNK)) * LBFGS_CHUNK
-        theta0s = np.empty((n_restarts, len(self._theta)))
+        # The search is screen-then-polish: ONE batched LML sweep over a
+        # dense candidate set picks the L-BFGS seeds, and only one chunk of
+        # LBFGS_CHUNK lanes is polished.  A 2048-candidate f32 sweep costs
+        # ~0.25 s on the TPU — less than a single L-BFGS iteration over 32
+        # lock-step lanes — and locates deeper basins than blind random
+        # restarts (the reference splits 10+2d blind restarts over MPI
+        # ranks, gpry/run.py:1253-1293; measured here: screen-2048+polish-8
+        # beats screen-256+coarse-32+polish-8 on both wall time and the
+        # exact LML found).  ``n_restarts`` keeps its API meaning as search
+        # effort: the screen grows with it.
+        n_polish = int(min(LBFGS_CHUNK, max(n_restarts, 1)))
+        theta0s = np.empty((n_polish, len(self._theta)))
         i0 = 0
         if start_from_current:
             theta0s[0] = np.clip(self._theta, lo, hi)
             i0 = 1
-        if n_restarts > i0:
+        if n_polish > i0:
             theta0s[i0:] = self._rng.uniform(
-                lo, hi, size=(n_restarts - i0, len(lo)))
+                lo, hi, size=(n_polish - i0, len(lo)))
         # Refresh padded buffers for the current training set (cheap; no
         # factorization needed before the fit).
         n = self.n
@@ -767,26 +771,23 @@ class GaussianProcessRegressor:
         self._dy = jnp.asarray(yp, dt)
         self._noise_var_ = self._transformed_noise_var(nmax)
 
-        # Screen starts: evaluate the LML on a cheap batched sweep of extra
-        # log-uniform candidates and keep the best as the restart seeds
-        # (TPU-idiomatic upgrade of blind log-uniform restarts; one vmapped
-        # LML costs ~one L-BFGS iteration).
-        if n_restarts > i0 + 1:
-            n_screen = 8 * n_restarts
+        on_cpu = all(dev.platform == "cpu" for dev in self._dX.devices())
+        if n_polish > i0 + 1:
+            # batched f64 sweeps are cheap on CPU too, but scale the screen
+            # down there (the grid/benchmarks run the loop on CPU hosts)
+            n_screen = max(8 * n_restarts, 256 if on_cpu else 2048)
             cand = self._rng.uniform(lo, hi, size=(n_screen, len(lo)))
             cand = np.vstack([theta0s[i0:], cand])
-            on_cpu_scr = all(dev.platform == "cpu"
-                             for dev in self._dX.devices())
-            sdt = jnp.float32 if (not on_cpu_scr and dt == jnp.float64) \
-                else dt
+            sdt = jnp.float32 if (not on_cpu and dt == jnp.float64) else dt
             lml_c = np.asarray(_lml_batch(
                 self.family, self._dX.astype(sdt), self._dy.astype(sdt),
                 n, self._noise_var_, jnp.asarray(cand, sdt),
                 rel_jitter=1e-5 if sdt == jnp.float32 else 0.0))
             lml_c = np.where(np.isfinite(lml_c), lml_c, -np.inf)
             order = np.argsort(lml_c)[::-1]
-            theta0s[i0:] = cand[order[:n_restarts - i0]]
+            theta0s[i0:] = cand[order[:n_polish - i0]]
             self.n_eval_loglike += len(cand)
+        n_restarts = n_polish
 
         # On TPU the theta search runs in float32: the float64-emulated
         # LBFGS graph makes the TPU compiler explode (minutes-to-never
@@ -794,7 +795,6 @@ class GaussianProcessRegressor:
         # nothing — restarts only need to locate the optimum basin.  A
         # *relative* jitter (scaled by the output variance, which spans ~8
         # decades over the search box) keeps the f32 Cholesky PD.
-        on_cpu = all(dev.platform == "cpu" for dev in self._dX.devices())
         if on_cpu or dt != jnp.float64:
             ladder = [(dt, 0.0, None)]
         else:
@@ -818,24 +818,9 @@ class GaussianProcessRegressor:
             # math unsharded.
             from gpry_tpu.parallel.mesh import \
                 fit_theta_restarts_maybe_sharded
-            if n_restarts >= 2 * LBFGS_CHUNK:
-                # Two-phase: coarse pass on all restarts, polish the top
-                # LBFGS_CHUNK — most full-length iterations would only
-                # polish losing restarts (the vmap runs lock-step).
-                thetas1, nlls1 = fit_theta_restarts_maybe_sharded(
-                    self.family, dX, dy, n, self._noise_var_, t0s_d, lo_d,
-                    hi_d, maxiter=min(20, maxiter), rel_jitter=rel_jitter)
-                nlls1 = np.asarray(nlls1)
-                order = np.argsort(np.where(np.isfinite(nlls1), nlls1,
-                                            np.inf))
-                top = jnp.asarray(np.asarray(thetas1)[order[:LBFGS_CHUNK]])
-                thetas, nlls = fit_theta_restarts_maybe_sharded(
-                    self.family, dX, dy, n, self._noise_var_, top, lo_d,
-                    hi_d, maxiter=maxiter, rel_jitter=rel_jitter)
-            else:
-                thetas, nlls = fit_theta_restarts_maybe_sharded(
-                    self.family, dX, dy, n, self._noise_var_, t0s_d, lo_d,
-                    hi_d, maxiter=maxiter, rel_jitter=rel_jitter)
+            thetas, nlls = fit_theta_restarts_maybe_sharded(
+                self.family, dX, dy, n, self._noise_var_, t0s_d, lo_d,
+                hi_d, maxiter=maxiter, rel_jitter=rel_jitter)
             nlls = np.asarray(nlls)
             if np.any(np.isfinite(nlls)):
                 break
