@@ -262,7 +262,8 @@ class NORA(GenericGPAcquisition):
             acq = acq_fn(y, sd)
 
         # 4. ranked-pool Kriging-believer selection
-        pool = RankedPool(n_points, gpr, acq_fn, verbose=self.verbose)
+        pool = RankedPool(n_points, gpr, acq_fn, verbose=self.verbose,
+                          acqf=self.acq_func)
         pool.add(X, y=y, sigma=sd, acq=acq, method="bulk")
         X_out, y_lies, acq_out = pool.get()
         self._proposed = np.vstack([self._proposed, X_out]) \

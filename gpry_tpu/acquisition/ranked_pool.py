@@ -18,9 +18,13 @@ dropped.  Conditioned acquisition can only decrease with more conditioning,
 which makes this greedy fill exact for the pool head.
 """
 
+from functools import partial
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
 
 from gpry_tpu.acquisition.base import append_lie
 from gpry_tpu.models.gp import surrogate_predict
@@ -31,6 +35,93 @@ def _predict(family, p, Xq):
     lazy import avoids a cycle at module load."""
     from gpry_tpu.parallel.mesh import predict_maybe_sharded
     return predict_maybe_sharded(family, p, Xq)
+
+
+@partial(jax.jit, static_argnames=("family", "size", "key"))
+def _bulk_fill_device(family, size, key, p, Xd_raw, y, sigma, acq0, alive0,
+                      noise_std):
+    """
+    The whole greedy Kriging-believer fill as ONE device program: ``size``
+    rounds of (conditioned-sigma sweep -> acq -> argmax -> rank-1 Cholesky
+    append).  The host loop version dispatches ~3 device calls + ~1 eager
+    sweep per round through the TPU tunnel (~0.09 s/round); fused, the
+    whole fill is one dispatch.  ``key`` is ``(acq_func, params_token)``
+    as in ``functions.acq_values_jit``.  ``p`` must have at least ``size``
+    free padded rows (the caller pre-grows).  Returns
+    ``(outX, outY, outSigma, outAcq, outAcqCond)`` with unfilled slots
+    carrying acq_cond = -inf.
+    """
+    from gpry_tpu.ops.kernels import cross_kernel, kernel_diag
+    acqf = key[0]
+    dt = p.X.dtype
+    nmax = p.X.shape[0]
+    N = Xd_raw.shape[0]
+    d = Xd_raw.shape[1]
+    Xq_ = (Xd_raw - p.x_loc) / p.x_scale
+    prior_var = kernel_diag(family, p.theta, Xq_)
+    if jnp.ndim(p.noise_var) == 0:
+        noise_lie = jnp.asarray(p.noise_var, dt)
+    else:
+        noise_lie = jnp.mean(p.noise_var)  # believer lies carry mean noise
+    minus_inf = jnp.asarray(-jnp.inf, dt)
+
+    def sigma_cond(Xbuf, n, L):
+        m = (jnp.arange(nmax) < n).astype(dt)
+        Kq = cross_kernel(family, p.theta, Xq_, Xbuf) * m[None, :]
+        V = solve_triangular(L, Kq.T, lower=True)
+        var = prior_var - jnp.sum(V * V, axis=0)
+        return jnp.sqrt(jnp.maximum(var, 0.0)) * p.y_scale
+
+    def select_and_append(carry, acq_cond):
+        Xbuf, ybuf, n, L, alive, outs, i = carry
+        acq_m = jnp.where(alive, acq_cond, minus_inf)
+        j = jnp.argmax(acq_m)
+        valid = jnp.isfinite(acq_m[j])
+        outX, outY, outS, outA, outC = outs
+        outs = (outX.at[i].set(jnp.where(valid, Xd_raw[j], 0.0)),
+                outY.at[i].set(jnp.where(valid, y[j], 0.0)),
+                outS.at[i].set(jnp.where(valid, sigma[j], 0.0)),
+                outA.at[i].set(jnp.where(valid, acq0[j], minus_inf)),
+                outC.at[i].set(jnp.where(valid, acq_m[j], minus_inf)))
+        alive = alive & (jnp.arange(N) != j)
+        # rank-1 Cholesky append of the believer lie at row n
+        xj_ = Xq_[j]
+        yj_ = (y[j] - p.y_loc) / p.y_scale
+        m = (jnp.arange(nmax) < n).astype(dt)
+        K12 = cross_kernel(family, p.theta, Xbuf, xj_[None]) * m[:, None]
+        S12 = solve_triangular(L, K12, lower=True)[:, 0]
+        k22 = kernel_diag(family, p.theta, xj_[None])[0] + noise_lie
+        s22 = jnp.sqrt(jnp.maximum(k22 - jnp.sum(S12 * S12), 1e-12))
+        Lrow = jnp.where(jnp.arange(nmax) == n, s22, S12)
+        ok = valid  # only commit the append for a valid selection
+        Xbuf = jnp.where(ok, Xbuf.at[n].set(xj_), Xbuf)
+        ybuf = jnp.where(ok, ybuf.at[n].set(yj_), ybuf)
+        L = jnp.where(ok, L.at[n].set(Lrow), L)
+        n = jnp.where(ok, n + 1, n)
+        return (Xbuf, ybuf, n, L, alive, outs, i + 1)
+
+    outs0 = (jnp.zeros((size, d), dt), jnp.zeros(size, dt),
+             jnp.zeros(size, dt), jnp.full(size, minus_inf),
+             jnp.full(size, minus_inf))
+    carry = (p.X, p.y, jnp.asarray(p.n, jnp.int32), p.L, alive0, outs0,
+             jnp.asarray(0, jnp.int32))
+    # round 0 ranks by the unconditioned acquisition
+    carry = select_and_append(carry, jnp.asarray(acq0, dt))
+
+    def body(_, carry):
+        Xbuf, ybuf, n, L, alive, outs, i = carry
+        sd = sigma_cond(Xbuf, n, L)
+        ac = acqf.values(jnp.asarray(y, dt), sd, p.y_max, noise_std)
+        finite = jnp.isfinite(ac)
+        # f32 conditioning can produce NaN on near-singular appends;
+        # conditioned-ineligible candidates drop out permanently
+        alive = alive & finite
+        carry = (Xbuf, ybuf, n, L, alive, outs, i)
+        return select_and_append(carry, jnp.where(finite, ac, minus_inf))
+
+    if size > 1:
+        carry = jax.lax.fori_loop(1, size, body, carry)
+    return carry[5]
 
 
 class RankedPool:
@@ -45,11 +136,14 @@ class RankedPool:
         ``acq(y, sigma) -> value`` (hyperparameters already bound).
     """
 
-    def __init__(self, size, gpr, acq_func, verbose=1):
+    def __init__(self, size, gpr, acq_func, verbose=1, acqf=None):
         self.size = int(size)
         self._gpr = gpr
         self._family = gpr.family
         self._acq_func = acq_func
+        #: the underlying AcquisitionFunction object (enables the fused
+        #: on-device bulk fill; the plain callable is kept for API parity)
+        self._acqf = acqf
         self.verbose = verbose
         d = gpr.d
         self.X = np.zeros((size + 1, d))
@@ -168,6 +262,37 @@ class RankedPool:
         alive[:n] = True
         p0 = self._params0()
         Xd = jnp.asarray(X, p0.X.dtype)
+        from gpry_tpu.parallel.mesh import available_mesh
+        if available_mesh(p0.X) is None and self._acqf is not None:
+            # Single device: the whole greedy fill is one fused program.
+            # (With a mesh, the per-round host loop below keeps the
+            # conditioning sweeps row-sharded over the devices.)
+            from gpry_tpu import config
+            from gpry_tpu.acquisition.base import grow_surrogate
+            from gpry_tpu.acquisition.functions import _params_token
+            p = grow_surrogate(
+                p0, config.bucket_size(int(p0.n) + self.size))
+            dt = p.X.dtype
+            noise_std = float(np.mean(self._gpr.noise_level)) \
+                if self._gpr is not None else 0.0
+            outX, outY, outS, outA, outC = _bulk_fill_device(
+                self._family, self.size,
+                (self._acqf, _params_token(self._acqf)), p,
+                jnp.asarray(X, dt), jnp.asarray(y, dt),
+                jnp.asarray(sigma, dt), jnp.asarray(acq, dt),
+                jnp.asarray(alive), noise_std)
+            outC = np.asarray(outC, dtype=float)
+            filled = np.isfinite(outC)
+            k = int(filled.sum())
+            self.X[:self.size][filled] = np.asarray(outX, dtype=float)[filled]
+            self.y[:self.size][filled] = np.asarray(outY, dtype=float)[filled]
+            self.sigma[:self.size][filled] = \
+                np.asarray(outS, dtype=float)[filled]
+            self.acq[:self.size][filled] = np.asarray(outA, dtype=float)[filled]
+            self.acq_cond[:self.size] = outC
+            self.cache_counter += k
+            self._invalidate_from(0)
+            return
         for i in range(self.size):
             if not np.any(alive):
                 break
@@ -293,6 +418,7 @@ class RankedPool:
         state = self.__dict__.copy()
         state["_gpr"] = None
         state["_acq_func"] = None
+        state["_acqf"] = None
         state["_base_params"] = None
         state["_cond_params"] = [None] * (self.size + 1)
         return state

@@ -242,3 +242,35 @@ def test_nora_multi_add(rng):
     # proposed points are excluded from the reused sample
     for x in X2:
         assert not np.any(np.all(np.isclose(X, x), axis=1))
+
+
+def test_ranked_pool_fused_device_fill_matches_host_loop(rng):
+    """The single-device fused bulk fill (_bulk_fill_device) must select
+    the same Kriging-believer batch as the per-round host loop."""
+    from gpry_tpu.parallel.mesh import mesh_disabled
+    gpr = make_fitted_gpr(rng)
+    p0 = gpr.surrogate_params()
+    acq_obj = LogExp(zeta=2 ** (-0.85))
+    noise_std = float(np.mean(gpr.noise_level))
+
+    def acq_fn(y, s):
+        return np.asarray(acq_obj.values(jnp.asarray(y), jnp.asarray(s),
+                                         gpr.y_max, noise_std))
+
+    cand = rng.uniform(size=(500, 2))
+    mu, sd = surrogate_predict(gpr.family, p0, jnp.asarray(cand, p0.X.dtype))
+    mu, sd = np.asarray(mu), np.asarray(sd)
+
+    pool_host = RankedPool(4, gpr, acq_fn)   # no acqf -> host loop
+    pool_host.add(cand, y=mu, sigma=sd, method="bulk")
+    Xh, yh, ah = pool_host.get()
+
+    with mesh_disabled():   # single-device path -> fused program
+        pool_dev = RankedPool(4, gpr, acq_fn, acqf=acq_obj)
+        pool_dev.add(cand, y=mu, sigma=sd, method="bulk")
+    Xd, yd, ad = pool_dev.get()
+
+    assert np.allclose(Xd, Xh)
+    assert np.allclose(yd, yh)
+    assert np.allclose(ad, ah, rtol=1e-6, atol=1e-8)
+    assert np.all(np.diff(ad) <= 1e-9)
