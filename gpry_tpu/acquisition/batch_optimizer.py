@@ -128,8 +128,14 @@ class BatchOptimizer(GenericGPAcquisition):
         acq_out = np.empty(n_points)
 
         from gpry_tpu.models.gp import LBFGS_CHUNK
+        # Screen-then-polish (same structure as the hyperparameter fit,
+        # models/gp.py): ``n_restarts_optimizer`` drives the screening
+        # breadth, but only LBFGS_CHUNK lanes are polished — under vmap
+        # the L-BFGS runs lock-step, so ascent wall time is proportional
+        # to the lane count while the extra lanes only re-polish losing
+        # screened starts.
         R = max(2, self.n_restarts_optimizer)
-        R = int(np.ceil(R / LBFGS_CHUNK)) * LBFGS_CHUNK  # one chunk width
+        R_polish = min(LBFGS_CHUNK, R)
         for i in range(n_points):
             # --- screening: one batched acq evaluation over proposer draws
             n_screen = min(10 * self.d * R, 4000)
@@ -138,7 +144,7 @@ class BatchOptimizer(GenericGPAcquisition):
                 family, p, zeta, noise_std_raw, jnp.asarray(cand, dt)))
             self.obj_fun_eval_num += n_screen
             order = np.argsort(acq_cand)[::-1]
-            starts = [cand[order[:R - 1]]]
+            starts = [cand[order[:R_polish - 1]]]
             # restart 0 from the last in-bounds training point
             # (reference: gpry/gp_acquisition.py:342-351)
             Xt = gpr.X_train
@@ -146,9 +152,9 @@ class BatchOptimizer(GenericGPAcquisition):
                           axis=1) if len(Xt) else np.array([], bool)
             if np.any(in_b):
                 starts.insert(0, Xt[in_b][-1:])
-            x0s = np.vstack(starts)[:R]
-            if len(x0s) < R:
-                x0s = np.vstack([x0s, cand[order[len(x0s):R]]])
+            x0s = np.vstack(starts)[:R_polish]
+            if len(x0s) < R_polish:
+                x0s = np.vstack([x0s, cand[order[len(x0s):R_polish]]])
 
             # --- vmapped multistart ascent
             xs, vals = _optimize_restarts(

@@ -142,6 +142,9 @@ class CentroidsProposer(Proposer):
                 is_in_bounds(self.training, self.bounds)]
 
     def get_batch(self, n, rng=None):
+        # Fully vectorized (the acquisition engine screens thousands of
+        # draws per Kriging-believer step; a Python loop here was ~0.25 s
+        # per call — most of BatchOptimizer's per-step wall time).
         rng = _rng_of(rng)
         d = len(self.bounds)
         m = d + 1
@@ -150,17 +153,25 @@ class CentroidsProposer(Proposer):
             else self.training
         if pool is None or len(pool) < 2:
             return UniformProposer(self.bounds).get_batch(n, rng)
-        out = np.empty((n, d))
-        for i in range(n):
-            mm = min(m, len(pool))
-            subset = pool[rng.choice(len(pool), size=mm, replace=False)]
-            centroid = subset.mean(axis=0)
-            picks = rng.choice(mm, size=d, replace=(mm < d))
-            kick = subset[picks, np.arange(d)] - centroid
-            kick *= rng.exponential(scale=1.0 / self.lambd, size=d)
-            out[i] = np.clip(centroid + kick, self.bounds[:, 0],
-                             self.bounds[:, 1])
-        return out
+        P = len(pool)
+        mm = min(m, P)
+        # batched distinct subsets: first mm of a random permutation,
+        # via argpartition of iid keys
+        subset_idx = np.argpartition(rng.random((n, P)), mm - 1,
+                                     axis=1)[:, :mm]
+        subsets = pool[subset_idx]                       # (n, mm, d)
+        centroids = subsets.mean(axis=1)                 # (n, d)
+        if mm < d:
+            picks = rng.integers(0, mm, size=(n, d))
+        else:
+            picks = np.argpartition(rng.random((n, mm)), d - 1,
+                                    axis=1)[:, :d]       # distinct per row
+        chosen = subsets[np.arange(n)[:, None], picks,
+                         np.arange(d)[None, :]]          # (n, d)
+        kick = (chosen - centroids) * rng.exponential(
+            scale=1.0 / self.lambd, size=(n, d))
+        return np.clip(centroids + kick, self.bounds[:, 0],
+                       self.bounds[:, 1])
 
 
 class PartialProposer(Proposer, InitialPointProposer):
