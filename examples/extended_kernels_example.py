@@ -6,6 +6,11 @@ for the full grammar: RBF, Matern(nu), RationalQuadratic, ExpSineSquared,
 DotProduct, WhiteKernel, ConstantKernel, Sum/Product/Exponentiation).
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
 import numpy as np
 
 from gpry_tpu.run import Runner

@@ -4,6 +4,11 @@ set up a likelihood, run the active-learning loop, draw MC samples from the
 surrogate, and plot.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
 # Step 1: a likelihood function
 import numpy as np
 from scipy.stats import multivariate_normal

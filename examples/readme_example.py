@@ -4,6 +4,11 @@ Minimal end-to-end example (mirrors the reference's readme_example.py):
 and corner plot.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
 import numpy as np
 from scipy.stats import multivariate_normal
 

@@ -106,14 +106,20 @@ class BatchOptimizer(GenericGPAcquisition):
         bounds = check_and_return_bounds(
             bounds if bounds is not None else self.bounds)
         family = gpr.family
-        p = gpr.surrogate_params()
-        # f32 sweeps/ascent on TPU (f64 is emulated ~20x slower and its
-        # L-BFGS graphs stress the compiler); final evals stay accurate
-        # enough for point proposal.
-        on_cpu = all(dev.platform == "cpu" for dev in p.X.devices())
-        if not on_cpu and p.X.dtype == jnp.float64:
+        # Condition-aware sweep dtype (models/gp.py:sweep_dtype) for
+        # screening, believer lies and final acquisition values.  The
+        # L-BFGS ascent itself stays float32 on accelerators (the
+        # float64-emulated L-BFGS graph does not compile on this TPU
+        # backend — see models/gp.py ladder note); its endpoints are
+        # re-scored in the sweep dtype below, so float32 only ever
+        # *proposes* candidates, never scores them.
+        p = gpr.sweep_params()
+        on_cpu_ = all(dev.platform == "cpu" for dev in p.X.devices())
+        if not on_cpu_ and p.X.dtype == jnp.float64:
             from gpry_tpu.models.gp import cast_surrogate
-            p = cast_surrogate(p, jnp.float32)
+            p_ascent = cast_surrogate(p, jnp.float32)
+        else:
+            p_ascent = p
         zeta = getattr(self.acq_func, "zeta", 1.0)
         noise_std_raw = float(np.mean(gpr.noise_level))
         lo = jnp.asarray(bounds[:, 0], p.X.dtype)
@@ -156,12 +162,18 @@ class BatchOptimizer(GenericGPAcquisition):
             if len(x0s) < R_polish:
                 x0s = np.vstack([x0s, cand[order[len(x0s):R_polish]]])
 
-            # --- vmapped multistart ascent
+            # --- vmapped multistart ascent (f32 on accelerators; endpoint
+            # values re-scored in the sweep dtype when they differ)
+            adt = p_ascent.X.dtype
             xs, vals = _optimize_restarts(
-                family, p, zeta, noise_std_raw, jnp.asarray(x0s, dt),
-                lo, hi)
-            vals = np.asarray(vals)
+                family, p_ascent, zeta, noise_std_raw,
+                jnp.asarray(x0s, adt), lo.astype(adt), hi.astype(adt))
             xs = np.asarray(xs)
+            if p_ascent is not p:
+                vals = np.asarray(_acq_values_gated(
+                    family, p, zeta, noise_std_raw, jnp.asarray(xs, dt)))
+            else:
+                vals = np.asarray(vals)
             # fall back to the best screened candidate if optimization failed
             if not np.any(np.isfinite(vals)):
                 best_x = cand[order[0]]

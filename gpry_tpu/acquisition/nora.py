@@ -85,14 +85,9 @@ class NORA(GenericGPAcquisition):
     # ------------------------------------------------------------- NS running
 
     def _surrogate_sweep_params(self, gpr):
-        from gpry_tpu.models.gp import cast_surrogate
-        p = gpr.surrogate_params()
-        # On TPU, run the NS sweep in float32 (f64 is emulated ~20x slower;
-        # the NS explores the surrogate — f32 accuracy is ample there).
-        on_cpu = all(dev.platform == "cpu" for dev in p.X.devices())
-        if not on_cpu and p.X.dtype == jnp.float64:
-            p = cast_surrogate(p, jnp.float32)
-        return p
+        # Sweep dtype is condition-aware (gpr.sweep_dtype): float32 on
+        # accelerators only when the estimated f32 error is negligible.
+        return gpr.sweep_params()
 
     def _run_ns(self, gpr):
         from gpry_tpu.mc.samples import surrogate_logp_fn

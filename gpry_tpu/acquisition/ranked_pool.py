@@ -166,14 +166,8 @@ class RankedPool:
 
     def _params0(self):
         if self._base_params is None:
-            import jax.numpy as _jnp
-            from gpry_tpu.models.gp import cast_surrogate
-            p = self._gpr.surrogate_params()
-            # f32 ranking sweeps on TPU (see NORA._run_ns rationale)
-            on_cpu = all(dev.platform == "cpu" for dev in p.X.devices())
-            if not on_cpu and p.X.dtype == _jnp.float64:
-                p = cast_surrogate(p, _jnp.float32)
-            self._base_params = p
+            # condition-aware sweep dtype (models/gp.py:sweep_dtype)
+            self._base_params = self._gpr.sweep_params()
         return self._base_params
 
     def _conditioned_params(self, i):

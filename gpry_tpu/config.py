@@ -47,9 +47,18 @@ import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 #: dtype used for GP state, Cholesky factorization and LML optimization.
 FIT_DTYPE = jnp.float64 if _X64 else jnp.float32
 
-#: dtype used for large batched prediction sweeps (acquisition ranking, NS).
-#: float64 by default for parity; can be switched to float32 for speed.
-SWEEP_DTYPE = jnp.float64 if _X64 else jnp.float32
+#: Dtype policy for large batched prediction sweeps (acquisition ranking,
+#: NS, ranked-pool conditioning): "auto" (default), "float32", or
+#: "float64"/"fit".  GP interpolants of log-posteriors are intrinsically
+#: ill-conditioned: the float32 sweep error is ~eps32 * k_max * sum|alpha|
+#: * y_scale raw nats (measured: 0.3-3.6 nats on representative problems —
+#: enough to break acquisition and convergence).  "auto" therefore runs
+#: sweeps in the fit dtype unless that per-factorization error bound is
+#: below SWEEP_F32_TOL (and only downgrades on accelerators — f32 buys
+#: nothing on CPU).  Override via GPRY_TPU_SWEEP_DTYPE.
+SWEEP_DTYPE = os.environ.get("GPRY_TPU_SWEEP_DTYPE", "auto")
+#: max acceptable estimated float32 sweep error, in raw log-posterior nats
+SWEEP_F32_TOL = float(os.environ.get("GPRY_TPU_SWEEP_F32_TOL", "0.05"))
 
 
 def x64_enabled():

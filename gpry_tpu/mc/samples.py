@@ -61,13 +61,9 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
     bounds = check_and_return_bounds(
         bounds if bounds is not None else gpr.bounds)
     d = bounds.shape[0]
-    p = gpr.surrogate_params()
-    # f32 sweeps on TPU (f64 is emulated; logp errors ~1e-4 are negligible
-    # for MC moments/weights)
-    on_cpu = all(dev.platform == "cpu" for dev in p.X.devices())
-    if not on_cpu and p.X.dtype == jnp.float64:
-        from gpry_tpu.models.gp import cast_surrogate
-        p = cast_surrogate(p, jnp.float32)
+    # condition-aware sweep dtype (models/gp.py:sweep_dtype): float32 only
+    # when the estimated f32 log-density error is negligible
+    p = gpr.sweep_params()
     dt = p.X.dtype
     lo = jnp.asarray(bounds[:, 0], dt)
     hi = jnp.asarray(bounds[:, 1], dt)

@@ -900,6 +900,57 @@ class GaussianProcessRegressor:
 
     # ---------------------------------------------------------------- predict
 
+    def f32_sweep_error_estimate(self):
+        """
+        Estimated raw-nats error of float32 sweep predictions:
+        ``eps32 * k_max * sum|alpha| * y_scale`` — the cancellation bound
+        of the predictive-mean dot ``k(x)^T alpha`` (alpha entries are
+        large and cancel on ill-conditioned kernels).  Validated against
+        measured f32-vs-f64 errors (est 0.37 vs median 0.27 on the d=8
+        bench case; est 3.2 vs median 3.6 on a wide-bounds 2-d Gaussian).
+        """
+        if self._dalpha is None or not self._fitted:
+            return 0.0
+        from gpry_tpu.models.preprocessing import affine_params_y
+        if getattr(self.preprocessing_y, "fitted", False):
+            _, y_scale = affine_params_y(self.preprocessing_y)
+        else:
+            y_scale = 1.0
+        eps32 = float(jnp.finfo(jnp.float32).eps)
+        k_max = float(np.exp(self._theta[0]))
+        return eps32 * k_max * float(np.sum(np.abs(
+            np.asarray(self._dalpha)))) * float(y_scale)
+
+    def sweep_dtype(self):
+        """
+        Dtype for bulk prediction sweeps (NS, acquisition ranking,
+        conditioning), per ``config.SWEEP_DTYPE``: "auto" uses float32
+        only on accelerators AND when ``f32_sweep_error_estimate()`` is
+        below ``config.SWEEP_F32_TOL`` — float32 sweeps on
+        ill-conditioned kernels carry whole-nat errors that break
+        acquisition and convergence (fast-but-wrong).
+        """
+        mode = str(config.SWEEP_DTYPE)
+        if mode in ("float32", "f32"):
+            return jnp.float32
+        if mode in ("float64", "f64", "fit"):
+            return self._dtype
+        # auto
+        if self._dtype != jnp.float64 or self._dX is None:
+            return self._dtype
+        on_cpu = all(dev.platform == "cpu" for dev in self._dX.devices())
+        if on_cpu:
+            return self._dtype
+        if self.f32_sweep_error_estimate() < config.SWEEP_F32_TOL:
+            return jnp.float32
+        return self._dtype
+
+    def sweep_params(self) -> "SurrogateParams":
+        """Surrogate snapshot in the sweep dtype (see ``sweep_dtype``)."""
+        p = self.surrogate_params()
+        dt = self.sweep_dtype()
+        return cast_surrogate(p, dt) if dt != p.X.dtype else p
+
     def surrogate_params(self, nsv_max=None) -> SurrogateParams:
         """Snapshot the full prediction state as a jit-friendly pytree."""
         dt = self._dtype

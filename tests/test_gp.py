@@ -280,3 +280,68 @@ def test_remove_from_data_and_api_conveniences(rng):
     assert gpr.n_total == n_before - 3
     gpr.set_random_state(123)
     assert isinstance(gpr._rng, np.random.Generator)
+
+
+def test_sweep_dtype_policy(rng):
+    """Condition-aware sweep dtype: float32 sweeps carry whole-nat errors
+    on ill-conditioned kernels (measured 0.3-3.6 nats), so 'auto' must
+    keep the fit dtype unless the estimated error is tiny."""
+    import jax.numpy as jnp
+    from gpry_tpu import config
+
+    bounds = np.array([[-10.0, 10.0]] * 2)
+    X = rng.uniform(-10, 10, size=(24, 2))
+    y = -0.5 * np.sum(((X - [3.0, 2.0]) / [0.5, 1.2]) ** 2, axis=1)
+    gpr = GaussianProcessRegressor(
+        bounds=bounds, preprocessing_X=Normalize_bounds(bounds),
+        preprocessing_y=Normalize_y(), n_restarts_optimizer=10,
+        random_state=0)
+    gpr.append_to_data(X, y)
+    est = gpr.f32_sweep_error_estimate()
+    assert est > 0.0 and np.isfinite(est)
+    # forced modes
+    old = config.SWEEP_DTYPE
+    try:
+        config.SWEEP_DTYPE = "float32"
+        assert gpr.sweep_dtype() == jnp.float32
+        assert gpr.sweep_params().X.dtype == jnp.float32
+        config.SWEEP_DTYPE = "float64"
+        assert gpr.sweep_dtype() == jnp.float64
+        # auto on CPU always keeps the fit dtype (f32 buys nothing there)
+        config.SWEEP_DTYPE = "auto"
+        assert gpr.sweep_dtype() == gpr._dtype
+    finally:
+        config.SWEEP_DTYPE = old
+
+
+def test_f32_sweep_error_estimate_tracks_reality(rng):
+    """The error estimate must upper-bound-ish the actual f32-vs-f64
+    prediction discrepancy (same formula validated on TPU)."""
+    import jax.numpy as jnp
+    from gpry_tpu.models.gp import cast_surrogate, surrogate_predict
+
+    bounds = np.array([[-10.0, 10.0]] * 2)
+    X = rng.uniform(-10, 10, size=(30, 2))
+    y = -0.5 * np.sum(((X - [3.0, 2.0]) / [0.5, 1.2]) ** 2, axis=1)
+    gpr = GaussianProcessRegressor(
+        bounds=bounds, preprocessing_X=Normalize_bounds(bounds),
+        preprocessing_y=Normalize_y(), n_restarts_optimizer=10,
+        random_state=0)
+    gpr.append_to_data(X, y)
+    p64 = gpr.surrogate_params()
+    p32 = cast_surrogate(p64, jnp.float32)
+    Xq = rng.uniform(-10, 10, size=(500, 2))
+    m64, _ = surrogate_predict(gpr.family, p64, jnp.asarray(Xq))
+    m32, _ = surrogate_predict(gpr.family, p32,
+                               jnp.asarray(Xq, jnp.float32))
+    m64, m32 = np.asarray(m64), np.asarray(m32)
+    fin = np.isfinite(m64) & np.isfinite(m32)
+    med_err = float(np.median(np.abs(m64 - m32)[fin]))
+    est = gpr.f32_sweep_error_estimate()
+    # the estimate is an upper bound: it must never be far BELOW the
+    # measured error (it may exceed it by orders of magnitude — it bounds
+    # the worst-case cancellation), and on a kernel this ill-conditioned
+    # both must scream "not f32-safe"
+    assert est > med_err / 30, (est, med_err)
+    assert est > 1.0  # far above any sane SWEEP_F32_TOL
+    assert med_err > 0.05  # f32 genuinely unusable here
