@@ -101,33 +101,48 @@ class NORA(GenericGPAcquisition):
             if not isinstance(iface, InterfaceDevice):
                 return self._run_ns_host(gpr, iface)
         p = self._surrogate_sweep_params(gpr)
-        dt = p.X.dtype
-        lo = jnp.asarray(self.bounds[:, 0], dt)
-        hi = jnp.asarray(self.bounds[:, 1], dt)
+        # NS proposal loop in f32 where allowed — the final sample is
+        # re-scored in the sweep dtype below (models/gp.py:
+        # ns_proposal_params)
+        from gpry_tpu.models.gp import ns_proposal_params
+        p_ns, corrected = ns_proposal_params(
+            p, gpr.f32_sweep_error_estimate())
+        ndt = p_ns.X.dtype
+        lo = jnp.asarray(self.bounds[:, 0], ndt)
+        hi = jnp.asarray(self.bounds[:, 1], ndt)
         nlive = self._nlive(gpr)
         max_dead = int(nlive * max(8, 2 * self.d))
         key = jax.random.PRNGKey(int(self.rng.integers(2**31)))
         # DP-shard the per-step chain batch over the available mesh (the
         # TPU analogue of PolyChord's MPI-parallel live-point evolution)
         from gpry_tpu.parallel.mesh import available_mesh
-        mesh = available_mesh(p.X)
+        mesh = available_mesh(p_ns.X)
         res = run_nested_device(
-            surrogate_logp_fn(gpr.family), p, key, lo, hi, nlive=nlive,
+            surrogate_logp_fn(gpr.family), p_ns, key, lo, hi, nlive=nlive,
             num_repeats=int(self.num_repeats),
             precision_criterion=self.precision_criterion_target,
             max_dead=max_dead, mesh=mesh,
             n_prior=int(self.nprior_per_nlive) * nlive)
         gpr.n_eval += int(res.n_calls)
-        logw = np.asarray(res.logw)
+        logw = np.asarray(res.logw, dtype=float)
         keep = np.isfinite(logw) & np.isfinite(np.asarray(res.logl))
-        X = np.asarray(res.X)[keep]
-        logp = np.asarray(res.logl)[keep]
+        X = np.asarray(res.X, dtype=float)[keep]
+        logp = np.asarray(res.logl, dtype=float)[keep]
         logw = logw[keep]
-        # predicted std over the sample (one batched, mesh-sharded call;
-        # the reference strided-splits this over MPI ranks,
-        # gpry/gp_acquisition.py:1110-1125)
+        # sweep-dtype mean + std over the sample (one batched,
+        # mesh-sharded call; the reference strided-splits this over MPI
+        # ranks, gpry/gp_acquisition.py:1110-1125)
         from gpry_tpu.parallel.mesh import predict_maybe_sharded
-        _, sd = predict_maybe_sharded(gpr.family, p, jnp.asarray(X, dt))
+        mu, sd = predict_maybe_sharded(gpr.family, p,
+                                       jnp.asarray(X, p.X.dtype))
+        if corrected:
+            # importance-correct the f32-proposed sample to the exact
+            # density: w *= exp(logp_exact - logp_f32)
+            mu = np.asarray(mu, dtype=float)
+            with np.errstate(invalid="ignore"):
+                logw = logw + (mu - logp)
+            logw = np.where(np.isfinite(logw), logw, -np.inf)
+            logp = mu
         self.last_MC_X = X
         self.last_MC_logp = logp
         self.last_MC_logw = logw

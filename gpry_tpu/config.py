@@ -60,6 +60,23 @@ SWEEP_DTYPE = os.environ.get("GPRY_TPU_SWEEP_DTYPE", "auto")
 #: max acceptable estimated float32 sweep error, in raw log-posterior nats
 SWEEP_F32_TOL = float(os.environ.get("GPRY_TPU_SWEEP_F32_TOL", "0.05"))
 
+#: Importance-corrected float32 NS proposals: when the sweep dtype is
+#: float64 (f32 deemed unsafe for *scoring*), the nested-sampling loop can
+#: still run float32 — it only *proposes* sample locations — with the
+#: final sample re-scored by ONE batched float64 sweep and the density
+#: difference folded into the weights (the same reweighting mechanism the
+#: engine already uses to reuse samples across GP updates, reference
+#: gpry/gp_acquisition.py:875-919).  "1" (default): on accelerators;
+#: "0": off (NS runs in the sweep dtype); "force": everywhere (tests).
+NS_PROPOSAL_F32 = os.environ.get("GPRY_TPU_NS_PROPOSAL_F32", "1")
+#: max estimated f32 sweep error (raw nats) for which the f32-proposal NS
+#: is still used: beyond this the f32 surface is distorted enough that the
+#: proposal misplaces its mass and the importance correction collapses the
+#: effective sample size (measured: est ~3 nats -> biased moments even
+#: after correction; est ~0.4 -> indistinguishable from f64).
+NS_PROPOSAL_F32_TOL = float(os.environ.get("GPRY_TPU_NS_PROPOSAL_F32_TOL",
+                                           "1.0"))
+
 
 def x64_enabled():
     """Whether the package runs in float64 mode."""

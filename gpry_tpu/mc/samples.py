@@ -108,21 +108,41 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
                                   dtype=int, varname="num_repeats")
         max_dead = int(options.get("max_dead", max(4000, 60 * d * nlive //
                                                    max(1, d))))
+        from gpry_tpu.models.gp import ns_proposal_params
         from gpry_tpu.parallel.mesh import available_mesh
+        # NS proposal loop in f32 where allowed; the sample is re-scored
+        # in the sweep dtype below (models/gp.py:ns_proposal_params)
+        p_ns, corrected = ns_proposal_params(
+            p, gpr.f32_sweep_error_estimate())
+        ndt = p_ns.X.dtype
         res = run_nested_device(
-            logp, p, key, lo, hi, nlive=int(nlive),
-            num_repeats=int(num_repeats),
+            logp, p_ns, key, lo.astype(ndt), hi.astype(ndt),
+            nlive=int(nlive), num_repeats=int(num_repeats),
             precision_criterion=float(options.get("precision_criterion",
                                                   0.01)),
-            max_dead=max_dead, mesh=available_mesh(p.X))
-        logw = np.asarray(res.logw)
-        keep = np.isfinite(logw)
-        w = np.exp(logw[keep] - np.max(logw[keep]))
+            max_dead=max_dead, mesh=available_mesh(p_ns.X))
+        logw = np.asarray(res.logw, dtype=float)
+        keep = np.isfinite(logw) & np.isfinite(np.asarray(res.logl))
+        X = np.asarray(res.X, dtype=float)[keep]
+        logl = np.asarray(res.logl, dtype=float)[keep]
+        logw = logw[keep]
+        logZ = float(res.logZ)
+        if corrected:
+            from scipy.special import logsumexp
+            mu = np.asarray(surrogate_predict_mean(
+                gpr.family, p, jnp.asarray(X, dt)), dtype=float)
+            lse_old = logsumexp(logw)
+            with np.errstate(invalid="ignore"):
+                logw = logw + (mu - logl)
+            logw = np.where(np.isfinite(logw), logw, -np.inf)
+            logZ += float(logsumexp(logw) - lse_old)
+            logl = mu
+        w = np.exp(logw - np.max(logw))
         out = {
-            "X": np.asarray(res.X)[keep],
-            "logpost": np.asarray(res.logl)[keep],
+            "X": X,
+            "logpost": logl,
             "weights": w,
-            "logZ": float(res.logZ),
+            "logZ": logZ,
             "n_calls": int(res.n_calls),
         }
         gpr.n_eval += int(res.n_calls)

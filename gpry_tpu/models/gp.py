@@ -136,6 +136,32 @@ def surrogate_predict_mean(family, p: SurrogateParams, Xq_raw):
                      jnp.asarray(-jnp.inf, mean.dtype))
 
 
+def ns_proposal_params(p: SurrogateParams, err_est=0.0):
+    """
+    ``(p_ns, corrected)`` for the nested-sampling loop: when
+    ``config.NS_PROPOSAL_F32`` allows it, ``p`` is float64 on an
+    accelerator, AND the f32 distortion estimate ``err_est`` (raw nats,
+    from ``f32_sweep_error_estimate``) is below
+    ``config.NS_PROPOSAL_F32_TOL``, the NS runs on a float32 snapshot —
+    it only *proposes* sample locations; the caller re-scores the final
+    sample with one batched float64 sweep and folds the density
+    difference into the weights (importance correction, the same
+    mechanism as sample reuse across GP updates).  Beyond the tolerance
+    the f32 surface misplaces the proposal mass and the correction
+    collapses the effective sample size, so f64 is kept.
+    ``corrected=True`` signals that re-scoring is required.
+    """
+    mode = str(config.NS_PROPOSAL_F32)
+    if mode in ("0", "false", "off") or p.X.dtype != jnp.float64:
+        return p, False
+    if float(err_est) >= config.NS_PROPOSAL_F32_TOL:
+        return p, False
+    on_cpu = all(dev.platform == "cpu" for dev in p.X.devices())
+    if on_cpu and mode != "force":
+        return p, False
+    return cast_surrogate(p, jnp.float32), True
+
+
 def cast_surrogate(p: SurrogateParams, dtype):
     """
     Cast a surrogate snapshot to another float dtype (int fields kept).

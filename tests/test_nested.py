@@ -63,3 +63,57 @@ def test_mcmc_gaussian_moments():
     Xf = np.asarray(X).reshape(-1, d)
     assert np.allclose(Xf.mean(axis=0), 0.6, atol=0.02)
     assert np.allclose(Xf.std(axis=0), 0.1, rtol=0.2)
+
+
+def test_ns_f32_proposals_importance_corrected(rng):
+    """f32-proposal NS + f64 re-scoring: the tolerance gate must keep f64
+    when the estimated f32 distortion is large, and when the corrected
+    path does run, the importance-corrected moments must match the pure
+    fit-dtype run."""
+    from gpry_tpu import config
+    from gpry_tpu.mc.samples import mc_sample_from_gp
+    from gpry_tpu.models.gp import (GaussianProcessRegressor,
+                                    ns_proposal_params)
+    from gpry_tpu.models.preprocessing import Normalize_bounds, Normalize_y
+
+    bounds = np.array([[0.0, 1.0], [0.0, 1.0]])
+    X = rng.uniform(size=(40, 2))
+    y = -0.5 * 25 * np.sum((X - 0.5) ** 2, axis=1)
+    gpr = GaussianProcessRegressor(
+        bounds=bounds, preprocessing_X=Normalize_bounds(bounds),
+        preprocessing_y=Normalize_y(), n_restarts_optimizer=8,
+        random_state=3)
+    gpr.append_to_data(X, y)
+    p = gpr.surrogate_params()
+
+    # 1. the gate: estimates above the tolerance keep the fit dtype even
+    # under "force"
+    old_mode, old_tol = config.NS_PROPOSAL_F32, config.NS_PROPOSAL_F32_TOL
+    try:
+        config.NS_PROPOSAL_F32 = "force"
+        _, corrected = ns_proposal_params(p, err_est=5.0)
+        assert not corrected
+        _, corrected = ns_proposal_params(p, err_est=0.01)
+        assert corrected
+
+        # 2. the correction mechanics: run both paths and compare moments
+        def moments(out):
+            w = np.asarray(out["weights"])
+            m = np.average(out["X"], axis=0, weights=w)
+            v = np.average((out["X"] - m) ** 2, axis=0, weights=w)
+            return m, np.sqrt(v)
+
+        config.NS_PROPOSAL_F32 = "0"
+        m0, s0 = moments(mc_sample_from_gp(gpr, sampler="nested", rng=5))
+        config.NS_PROPOSAL_F32 = "force"
+        config.NS_PROPOSAL_F32_TOL = 1e9  # exercise the corrected path
+        out = mc_sample_from_gp(gpr, sampler="nested", rng=5)
+        m1, s1 = moments(out)
+    finally:
+        config.NS_PROPOSAL_F32 = old_mode
+        config.NS_PROPOSAL_F32_TOL = old_tol
+    assert np.allclose(m0, [0.5, 0.5], atol=0.03)
+    assert np.allclose(m1, [0.5, 0.5], atol=0.05)
+    assert np.allclose(m1, m0, atol=0.05)
+    assert np.allclose(s1, s0, rtol=0.3)
+    assert np.isfinite(out["logZ"])
