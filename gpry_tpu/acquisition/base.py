@@ -106,7 +106,8 @@ class GenericGPAcquisition:
     def _parse_dim_spec(self, value, varname):
         return get_Xnumber(value, "d", self.d, dtype=int, varname=varname)
 
-    def multi_add(self, gpr, n_points=1, bounds=None, rng=None):
+    def multi_add(self, gpr, n_points=1, bounds=None, rng=None,
+                  force_resample=False):
         raise NotImplementedError
 
     def log(self, msg, level=3):

@@ -94,10 +94,14 @@ class BatchOptimizer(GenericGPAcquisition):
             self.bounds, CentroidsProposer(self.bounds))
         self.obj_fun_eval_num = 0
 
-    def multi_add(self, gpr, n_points=1, bounds=None, rng=None):
+    def multi_add(self, gpr, n_points=1, bounds=None, rng=None,
+                  force_resample=False):
         """
         Propose ``n_points`` Kriging-believer points.
         Returns (X (n,d), y_lies (n,), acq_values (n,)).
+        ``force_resample`` is accepted for engine-API parity
+        (gpry/gp_acquisition.py:392); fresh proposer draws are made every
+        call here, so it is a no-op.
         """
         if n_points < 1:
             raise ValueError(f"n_points must be >= 1, got {n_points}")
@@ -115,11 +119,17 @@ class BatchOptimizer(GenericGPAcquisition):
         # *proposes* candidates, never scores them.
         p = gpr.sweep_params()
         on_cpu_ = all(dev.platform == "cpu" for dev in p.X.devices())
-        if not on_cpu_ and p.X.dtype == jnp.float64:
-            from gpry_tpu.models.gp import cast_surrogate
-            p_ascent = cast_surrogate(p, jnp.float32)
-        else:
-            p_ascent = p
+
+        def _make_ascent(p_cur):
+            # Rebuilt after every believer append so the ascent optimizes the
+            # *conditioned* acquisition surface for points i>=1 (Kriging-
+            # believer semantics, gpry/gp_acquisition.py:478-497).
+            if not on_cpu_ and p_cur.X.dtype == jnp.float64:
+                from gpry_tpu.models.gp import cast_surrogate
+                return cast_surrogate(p_cur, jnp.float32)
+            return p_cur
+
+        p_ascent = _make_ascent(p)
         zeta = getattr(self.acq_func, "zeta", 1.0)
         noise_std_raw = float(np.mean(gpr.noise_level))
         lo = jnp.asarray(bounds[:, 0], p.X.dtype)
@@ -162,18 +172,25 @@ class BatchOptimizer(GenericGPAcquisition):
             if len(x0s) < R_polish:
                 x0s = np.vstack([x0s, cand[order[len(x0s):R_polish]]])
 
-            # --- vmapped multistart ascent (f32 on accelerators; endpoint
-            # values re-scored in the sweep dtype when they differ)
-            adt = p_ascent.X.dtype
-            xs, vals = _optimize_restarts(
-                family, p_ascent, zeta, noise_std_raw,
-                jnp.asarray(x0s, adt), lo.astype(adt), hi.astype(adt))
-            xs = np.asarray(xs)
-            if p_ascent is not p:
-                vals = np.asarray(_acq_values_gated(
-                    family, p, zeta, noise_std_raw, jnp.asarray(xs, dt)))
+            # --- multistart polish of the screened starts
+            if self.acq_optimizer in ("lbfgs", "fmin_l_bfgs_b", None):
+                # vmapped L-BFGS ascent (f32 on accelerators; endpoint
+                # values re-scored in the sweep dtype when they differ)
+                adt = p_ascent.X.dtype
+                xs, vals = _optimize_restarts(
+                    family, p_ascent, zeta, noise_std_raw,
+                    jnp.asarray(x0s, adt), lo.astype(adt), hi.astype(adt))
+                xs = np.asarray(xs)
+                if p_ascent is not p:
+                    vals = np.asarray(_acq_values_gated(
+                        family, p, zeta, noise_std_raw, jnp.asarray(xs, dt)))
+                else:
+                    vals = np.asarray(vals)
             else:
-                vals = np.asarray(vals)
+                # gradient-free "sampling" (Powell) fallback or a user
+                # callable (reference: gpry/gp_acquisition.py:502-523)
+                xs, vals = self._polish_gradient_free(
+                    family, p, zeta, noise_std_raw, x0s, bounds, dt)
             # fall back to the best screened candidate if optimization failed
             if not np.any(np.isfinite(vals)):
                 best_x = cand[order[0]]
@@ -197,5 +214,41 @@ class BatchOptimizer(GenericGPAcquisition):
                 # append_lie grows the padded buffers if the bucket is full
                 p = append_lie(family, p, jnp.asarray(best_x[None], dt),
                                jnp.asarray([y_lie], dt))
+                p_ascent = _make_ascent(p)
         self.mean, self.cov = None, None
         return X_out, y_lies, acq_out
+
+    def _polish_gradient_free(self, family, p, zeta, noise_std_raw, x0s,
+                              bounds, dt):
+        """
+        Host-driven gradient-free polish, for the reference's
+        ``acq_optimizer="sampling"`` (scipy Powell) option and user
+        callables (gpry/gp_acquisition.py:511-523).  Each objective call is
+        one batched device evaluation of the gated acquisition; Powell is
+        sequential, so only a few starts are polished (the dense screen has
+        already located the basin).
+        """
+        import scipy.optimize
+
+        def neg_acq(x):
+            v = float(np.asarray(_acq_values_gated(
+                family, p, zeta, noise_std_raw,
+                jnp.asarray(np.atleast_2d(x), dt)))[0])
+            self.obj_fun_eval_num += 1
+            return -v if np.isfinite(v) else 1e30
+
+        xs, vals = [], []
+        for x0 in np.asarray(x0s)[:max(2, min(4, len(x0s)))]:
+            if callable(self.acq_optimizer):
+                x_opt, f_opt = self.acq_optimizer(
+                    neg_acq, x0, bounds=bounds)
+            elif self.acq_optimizer == "sampling":
+                res = scipy.optimize.minimize(
+                    neg_acq, x0, method="Powell", bounds=bounds)
+                x_opt, f_opt = res.x, float(res.fun)
+            else:
+                raise ValueError(
+                    f"Unknown optimizer {self.acq_optimizer!r}.")
+            xs.append(np.asarray(x_opt, dtype=float))
+            vals.append(-f_opt if np.isfinite(f_opt) else -np.inf)
+        return np.asarray(xs), np.asarray(vals)

@@ -25,9 +25,14 @@ import numpy as np
 
 
 def _params_token(acqf):
-    """Recursive hashable snapshot of an acq function's live parameters."""
+    """Recursive hashable snapshot of an acq function's live parameters.
+
+    Read from live attributes (not the ``_params`` dict) so that direct
+    attribute mutation (``acqf.zeta = x``) is picked up just like
+    ``set_params`` and never serves a stale compilation."""
     parts = [type(acqf).__name__]
-    parts += [f"{k}={v!r}" for k, v in sorted(acqf.get_params().items())]
+    parts += [f"{k}={getattr(acqf, k, acqf._params.get(k))!r}"
+              for k in sorted(acqf._params)]
     for attr in ("f1", "f2", "f"):
         child = getattr(acqf, attr, None)
         if isinstance(child, AcquisitionFunction):
@@ -284,7 +289,7 @@ class Product(_BinaryOp):
 class Exponentiation(AcquisitionFunction):
     def __init__(self, f, exponent):
         self.f, self.exponent = f, float(exponent)
-        self._params = {}
+        self._params = {"exponent": self.exponent}
 
     def values(self, mu, std, y_max, noise_std):
         return self.f.values(mu, std, y_max, noise_std) ** self.exponent

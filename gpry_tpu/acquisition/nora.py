@@ -135,19 +135,26 @@ class NORA(GenericGPAcquisition):
         from gpry_tpu.parallel.mesh import predict_maybe_sharded
         mu, sd = predict_maybe_sharded(gpr.family, p,
                                        jnp.asarray(X, p.X.dtype))
+        logZ = float(res.logZ)
         if corrected:
             # importance-correct the f32-proposed sample to the exact
-            # density: w *= exp(logp_exact - logp_f32)
+            # density: w *= exp(logp_exact - logp_f32), and shift the
+            # evidence by the same total-mass ratio so both NS paths
+            # (here and mc/samples.py) report consistent logZ
             mu = np.asarray(mu, dtype=float)
+            from scipy.special import logsumexp
+            logw_old = logw
             with np.errstate(invalid="ignore"):
                 logw = logw + (mu - logp)
             logw = np.where(np.isfinite(logw), logw, -np.inf)
             logp = mu
+            if np.any(np.isfinite(logw)) and np.any(np.isfinite(logw_old)):
+                logZ += float(logsumexp(logw) - logsumexp(logw_old))
         self.last_MC_X = X
         self.last_MC_logp = logp
         self.last_MC_logw = logw
         self.last_MC_sigma = np.asarray(sd)
-        self.last_logZ = float(res.logZ)
+        self.last_logZ = logZ
         self.log(f"[NORA] NS run: {len(X)} samples, nlive={nlive}, "
                  f"logZ={self.last_logZ:.3f}, calls={int(res.n_calls)}",
                  level=3)
@@ -209,13 +216,19 @@ class NORA(GenericGPAcquisition):
 
     # ----------------------------------------------------------------- multi_add
 
-    def multi_add(self, gpr, n_points=1, bounds=None, rng=None):
+    def multi_add(self, gpr, n_points=1, bounds=None, rng=None,
+                  force_resample=False):
         """
         Propose ``n_points`` Kriging-believer points from the ranked NS
         sample (reference: gpry/gp_acquisition.py:971-1108).
+        ``force_resample`` forces a fresh NS run even mid ``mc_every``
+        cadence (the Runner sets it after a starved acquisition,
+        gpry/gp_acquisition.py:1023).
         """
         if rng is not None and isinstance(rng, np.random.Generator):
             self.rng = rng
+        if force_resample:
+            self._iter_since_mc = None
         if bounds is not None:
             b = check_and_return_bounds(bounds)
             bounds_changed = not np.allclose(b, self.bounds)

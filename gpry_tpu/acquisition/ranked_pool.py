@@ -59,11 +59,16 @@ def _bulk_fill_device(family, size, key, p, Xd_raw, y, sigma, acq0, alive0,
     d = Xd_raw.shape[1]
     Xq_ = (Xd_raw - p.x_loc) / p.x_scale
     prior_var = kernel_diag(family, p.theta, Xq_)
-    if jnp.ndim(p.noise_var) == 0:
-        noise_lie = jnp.asarray(p.noise_var, dt)
-    else:
-        noise_lie = jnp.mean(p.noise_var)  # believer lies carry mean noise
     minus_inf = jnp.asarray(-jnp.inf, dt)
+
+    def _noise_at(n):
+        # same believer-lie noise convention as ops.linalg.chol_append:
+        # the padded per-row default at the insertion row (scalar case
+        # broadcasts trivially)
+        if jnp.ndim(p.noise_var) == 0:
+            return jnp.asarray(p.noise_var, dt)
+        return jax.lax.dynamic_slice(
+            jnp.asarray(p.noise_var, dt), (n,), (1,))[0]
 
     def sigma_cond(Xbuf, n, L):
         m = (jnp.arange(nmax) < n).astype(dt)
@@ -90,7 +95,7 @@ def _bulk_fill_device(family, size, key, p, Xd_raw, y, sigma, acq0, alive0,
         m = (jnp.arange(nmax) < n).astype(dt)
         K12 = cross_kernel(family, p.theta, Xbuf, xj_[None]) * m[:, None]
         S12 = solve_triangular(L, K12, lower=True)[:, 0]
-        k22 = kernel_diag(family, p.theta, xj_[None])[0] + noise_lie
+        k22 = kernel_diag(family, p.theta, xj_[None])[0] + _noise_at(n)
         s22 = jnp.sqrt(jnp.maximum(k22 - jnp.sum(S12 * S12), 1e-12))
         Lrow = jnp.where(jnp.arange(nmax) == n, s22, S12)
         ok = valid  # only commit the append for a valid selection

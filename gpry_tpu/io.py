@@ -60,22 +60,25 @@ def _host_to_device(obj):
 
 
 def save_checkpoint(path, truth, gpr, acquisition, convergence, options,
-                    progress):
+                    progress, update_truth=True):
     """
     Save the six checkpoint objects (reference: gpry/io.py:110-156).
+    With ``update_truth=False``, ``tru.pkl`` is written only if absent
+    (the truth never changes during a run; reference: gpry/run.py:742-745).
     """
     if path is None:
         return
     create_path(path)
-    truth_dict = truth.as_dict() if hasattr(truth, "as_dict") else truth
     objs = {
-        "tru.pkl": truth_dict,
         "gpr.pkl": _device_to_host(gpr),
         "acq.pkl": acquisition,
         "con.pkl": convergence,
         "opt.pkl": options,
         "pro.pkl": progress,
     }
+    if update_truth or not os.path.exists(os.path.join(path, "tru.pkl")):
+        objs["tru.pkl"] = truth.as_dict() if hasattr(truth, "as_dict") \
+            else truth
     # The GPR is mutated in place (device arrays -> host tuples) while
     # dumping; restore it even when a dump raises (e.g. an unpicklable user
     # loglike), or the live Runner would keep running with a corrupted GPR.
@@ -105,6 +108,13 @@ def read_checkpoint(path, truth=None):
             "loglike" in truth_dict:
         from gpry_tpu.truth import Truth
         truth = Truth(**truth_dict)
+    elif truth is None and isinstance(truth_dict, dict) and \
+            truth_dict.get("model") is not None:
+        # TruthCobaya round-trip: rebuild the Cobaya Model from its info
+        # dict (reference: gpry/truth.py:165-237 + gpry/run.py:723)
+        from cobaya.model import get_model
+        from gpry_tpu.truth import TruthCobaya
+        truth = TruthCobaya(get_model(truth_dict["model"]))
     elif truth is None:
         truth = truth_dict
     return truth, gpr, acq, con, opt, pro

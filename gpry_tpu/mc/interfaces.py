@@ -270,14 +270,24 @@ def init_nested_sampler(name="device", **kwargs):
     (polychord -> ultranest, gpry/gp_acquisition.py:650-682) extended by the
     always-available on-device sampler.
     """
-    if name in _ns_interfaces:
-        try:
-            return _ns_interfaces[name](**kwargs)
-        except ImportError:
-            pass
+    if name not in _ns_interfaces:
+        raise ValueError(
+            f"Unknown nested sampler {name!r}; "
+            f"available: {sorted(_ns_interfaces)}")
+    try:
+        return _ns_interfaces[name](**kwargs)
+    except ImportError:
+        pass
+    import warnings
     for fallback in ("polychord", "ultranest", "device"):
+        if fallback == name:
+            continue
         try:
-            return _ns_interfaces[fallback](**kwargs)
+            iface = _ns_interfaces[fallback](**kwargs)
         except ImportError:
             continue
+        warnings.warn(
+            f"Nested sampler {name!r} is not importable; "
+            f"falling back to {fallback!r}.")
+        return iface
     raise RuntimeError("No nested sampler available.")

@@ -165,7 +165,10 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
         X = np.asarray(X3).reshape(-1, d)
         logpost = np.asarray(logpost3).ravel()
         keep = np.isfinite(logpost)
-        gpr.n_eval += n_chains * n_steps * 2
+        # exact device-eval count: 16 start tries per chain, then one
+        # proposal eval per chain per step over warmup (n_steps//2, the
+        # run_mcmc_device default) + sampling phases
+        gpr.n_eval += n_chains * (16 + n_steps // 2 + n_steps)
         return {"X": X[keep], "logpost": logpost[keep],
                 "weights": np.ones(int(keep.sum())), "rhat": rhat}
     if sampler == "uniform":

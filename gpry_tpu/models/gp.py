@@ -206,8 +206,8 @@ def _fit_theta_restarts(family, X, y, n, noise_var, theta0s, lo, hi,
     def nll(theta):
         return -masked_lml(family, theta, X, y, n, noise_var, rel_jitter)
 
-    solve = lambda t0: minimize_lbfgs_bounded(nll, t0, lo, hi,
-                                              maxiter=maxiter, tol=tol)
+    solve = lambda t0: minimize_lbfgs_bounded(
+        nll, t0, lo, hi, maxiter=maxiter, tol=tol, count_evals=True)
     return jax.vmap(solve)(theta0s)
 
 
@@ -844,7 +844,7 @@ class GaussianProcessRegressor:
             # math unsharded.
             from gpry_tpu.parallel.mesh import \
                 fit_theta_restarts_maybe_sharded
-            thetas, nlls = fit_theta_restarts_maybe_sharded(
+            thetas, nlls, fit_nevs = fit_theta_restarts_maybe_sharded(
                 self.family, dX, dy, n, self._noise_var_, t0s_d, lo_d,
                 hi_d, maxiter=maxiter, rel_jitter=rel_jitter)
             nlls = np.asarray(nlls)
@@ -854,7 +854,8 @@ class GaussianProcessRegressor:
                 f"Hyperparameter search rung (dtype={search_dt.__name__}, "
                 f"rel_jitter={rel_jitter}) produced no finite LML; "
                 "escalating.")
-        self.n_eval_loglike += int(n_restarts) * maxiter  # upper estimate
+        # exact per-lane objective-eval counts from the solver
+        self.n_eval_loglike += int(np.sum(np.asarray(fit_nevs)))
         # NaN-safe argmin: individual restarts may fail (non-PD at their
         # theta); only all-failed is an error.
         nlls_safe = np.where(np.isfinite(nlls), nlls, np.inf)
@@ -1041,6 +1042,15 @@ class GaussianProcessRegressor:
             raise ValueError(
                 "return_cov is exclusive with return_std and gradients.")
         X = np.atleast_2d(np.asarray(X, dtype=float))
+        if validate:
+            # host-surface input validation (the reference inherits
+            # sklearn's validate_data, gpry/gpr.py:1095-1100); pass
+            # validate=False on hot paths with pre-checked arrays
+            if X.ndim != 2 or X.shape[1] != self.d:
+                raise ValueError(
+                    f"X must be (n, {self.d}); got shape {X.shape}.")
+            if np.isnan(X).any():
+                raise ValueError("X contains NaN.")
         self.n_eval += len(X)
         if self._dL is None or self.n == 0:
             # Not fit: prior mean zero / prior std (reference:

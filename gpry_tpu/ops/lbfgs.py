@@ -43,12 +43,15 @@ def to_constrained(u, lo, hi):
 
 def minimize_lbfgs(fun, x0, maxiter=100, tol=1e-8, memory_size=8,
                    max_linesearch_steps=18, stall_patience=5,
-                   stall_rtol=None):
+                   stall_rtol=None, count_evals=False):
     """
     Minimize ``fun`` (scalar, differentiable) from ``x0`` with L-BFGS +
-    Armijo backtracking.  Returns ``(x_opt, f_opt)``.  Fully jittable and
-    vmappable.  Non-finite objective values during the line search are
-    backtracked past; a non-finite start yields (x0, fun(x0)).
+    Armijo backtracking.  Returns ``(x_opt, f_opt)``, or
+    ``(x_opt, f_opt, n_evals)`` with ``count_evals=True`` where ``n_evals``
+    is the exact number of objective evaluations (value_and_grad calls +
+    line-search probes).  Fully jittable and vmappable.  Non-finite
+    objective values during the line search are backtracked past; a
+    non-finite start yields (x0, fun(x0)).
 
     Stall detection: a lane whose objective improves by less than
     ``stall_rtol * (1 + |f|)`` for ``stall_patience`` consecutive
@@ -108,21 +111,22 @@ def minimize_lbfgs(fun, x0, maxiter=100, tol=1e-8, memory_size=8,
             t_next = jnp.where(ok, t, t * 0.5)
             return t_next, f_t, it + 1, ok
 
-        t, f_t, _, ok = jax.lax.while_loop(
+        t, f_t, n_ls, ok = jax.lax.while_loop(
             cond, body, (jnp.asarray(1.0, dtype), f, 0, False))
-        return jnp.where(ok, t, 0.0), jnp.where(ok, f_t, f), ok
+        return jnp.where(ok, t, 0.0), jnp.where(ok, f_t, f), n_ls, ok
 
     def cond(state):
-        x, f, g, S, Y, rho, kh, it, stall, stop = state
+        x, f, g, S, Y, rho, kh, it, stall, stop, nev = state
         return (~stop) & (it < maxiter)
 
     def body(state):
-        x, f, g, S, Y, rho, kh, it, stall, _ = state
+        x, f, g, S, Y, rho, kh, it, stall, _, nev = state
         d = two_loop(g, S, Y, rho, kh)
         # safeguard: fall back to steepest descent if not a descent dir
         descent = jnp.dot(g, d) < 0
         d = jnp.where(descent, d, -g)
-        t, f_new, ok = backtrack(x, f, g, d)
+        t, f_new, n_ls, ok = backtrack(x, f, g, d)
+        nev = nev + n_ls + 1  # line-search evals + the value_and_grad below
         x_new = x + t * d
         f_new2, g_new = value_and_grad(x_new)
         s = x_new - x
@@ -142,37 +146,46 @@ def minimize_lbfgs(fun, x0, maxiter=100, tol=1e-8, memory_size=8,
         stall = jnp.where(improved, 0, stall + 1)
         stop = (~ok) | (gnorm < tol) | ~jnp.isfinite(f_new2) \
             | (stall >= stall_patience)
-        return (x_new, f_new2, g_new, S, Y, rho, kh, it + 1, stall, stop)
+        return (x_new, f_new2, g_new, S, Y, rho, kh, it + 1, stall, stop,
+                nev)
 
     f0, g0 = value_and_grad(x0)
     state0 = (x0, f0, g0,
               jnp.zeros((M, n), dtype), jnp.zeros((M, n), dtype),
               jnp.zeros(M, dtype), jnp.asarray(0, jnp.int32), 0,
-              jnp.asarray(0, jnp.int32), ~jnp.isfinite(f0))
-    x, f, *_ = jax.lax.while_loop(cond, body, state0)
+              jnp.asarray(0, jnp.int32), ~jnp.isfinite(f0),
+              jnp.asarray(1, jnp.int32))
+    out = jax.lax.while_loop(cond, body, state0)
+    x, f, nev = out[0], out[1], out[-1]
     bad = ~jnp.isfinite(f)
     x = jnp.where(bad, x0, x)
     f = jnp.where(bad, f0, f)
+    if count_evals:
+        return x, f, nev
     return x, f
 
 
 def minimize_lbfgs_bounded(fun, x0, lo, hi, maxiter=100, tol=1e-8, **kw):
     """
     Box-constrained minimization via the sigmoid reparametrization.
-    Returns ``(x_opt, f_opt)`` with x_opt strictly inside [lo, hi].
+    Returns ``(x_opt, f_opt)`` with x_opt strictly inside [lo, hi]
+    (plus the exact objective-eval count with ``count_evals=True``).
     """
     u0 = to_unconstrained(x0, lo, hi)
     fun_u = lambda u: fun(to_constrained(u, lo, hi))
-    u_opt, f_opt = minimize_lbfgs(fun_u, u0, maxiter=maxiter, tol=tol, **kw)
-    return to_constrained(u_opt, lo, hi), f_opt
+    out = minimize_lbfgs(fun_u, u0, maxiter=maxiter, tol=tol, **kw)
+    return (to_constrained(out[0], lo, hi),) + tuple(out[1:])
 
 
-def multistart_minimize(fun, x0s, lo, hi, maxiter=100, tol=1e-8):
+def multistart_minimize(fun, x0s, lo, hi, maxiter=100, tol=1e-8,
+                        count_evals=False):
     """
     Vmapped multi-start bounded minimization.  ``x0s`` has shape (R, d).
     Returns ``(xs (R, d), fs (R,))`` — the caller picks the argmin (like the
     reference's best-LML selection across MPI ranks, gpry/run.py:1286-1293).
+    With ``count_evals=True`` a third output carries the exact per-lane
+    objective evaluation counts (for the Progress "evals" telemetry).
     """
-    solve = lambda x0: minimize_lbfgs_bounded(fun, x0, lo, hi,
-                                              maxiter=maxiter, tol=tol)
+    solve = lambda x0: minimize_lbfgs_bounded(
+        fun, x0, lo, hi, maxiter=maxiter, tol=tol, count_evals=count_evals)
     return jax.vmap(solve)(x0s)

@@ -229,12 +229,13 @@ def _sharded_fit_theta(family, X, y, n, noise_var, theta0s, lo, hi, mesh,
         def nll(theta):
             return -masked_lml(family, theta, X, y, n, noise_var, rel_jitter)
 
-        solve = lambda t0: minimize_lbfgs_bounded(nll, t0, lo, hi,
-                                                  maxiter=maxiter, tol=tol)
+        solve = lambda t0: minimize_lbfgs_bounded(
+            nll, t0, lo, hi, maxiter=maxiter, tol=tol, count_evals=True)
         return jax.vmap(solve)(t0s_shard)
 
     fn = jax.shard_map(local, mesh=mesh, in_specs=(P(axis_name, None),),
-                       out_specs=(P(axis_name, None), P(axis_name)),
+                       out_specs=(P(axis_name, None), P(axis_name),
+                                  P(axis_name)),
                        check_vma=False)
     return fn(theta0s)
 
@@ -245,6 +246,8 @@ def fit_theta_restarts_maybe_sharded(family, X, y, n, noise_var, theta0s,
     Multi-restart LML fit, restart axis DP-sharded when a mesh is available
     and divides the restart count; identical results either way (each
     restart is an independent lock-step L-BFGS lane).
+    Returns (thetas, nlls, n_evals) with exact per-lane objective-eval
+    counts (for Progress telemetry).
     """
     from gpry_tpu.models.gp import _fit_theta_restarts
     mesh = available_mesh(X)

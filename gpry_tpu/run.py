@@ -402,7 +402,7 @@ class Runner:
         if not self._resumed and self.gpr.n_total == 0:
             self.do_initial_training()
             self._save_checkpoint()
-        n_iterations_without_acceptance = 0
+        self.resamples = 0
         self.has_converged = False
         while (self.n_total_left > 0 and self.n_finite_left > 0
                and not self.has_converged):
@@ -418,23 +418,30 @@ class Runner:
             with TimerCounter(self.gpr) as timer_acq:
                 new_X, y_pred, acq_vals = self.acquisition.multi_add(
                     self.gpr, n_points=n_points, bounds=self.gpr.trust_bounds,
-                    rng=self.rng)
+                    rng=self.rng, force_resample=self.resamples > 0)
                 dup = check_candidates(self.gpr.X_train, new_X)
                 new_X, y_pred = new_X[~dup], np.asarray(y_pred)[~dup]
             self.progress.add_acquisition(timer_acq)
             self.log(f"[ACQUISITION] {len(new_X)} points proposed "
                      f"({timer_acq.time:.3g}s)", _VERBOSITY_INFO)
-            if len(new_X) < max(1, n_points // 2):
-                n_iterations_without_acceptance += 1
-                if n_iterations_without_acceptance > \
-                        self.n_resamples_before_giveup:
-                    self.log("Too few acquired points repeatedly; stopping.",
-                             _VERBOSITY_WARN)
+            # Starvation retry (reference: gpry/run.py:885-911): if fewer
+            # than half the requested points came back, skip evaluating the
+            # sub-minimal batch and force the acquisition to re-sample (NORA
+            # runs a fresh NS) on the next pass, up to
+            # n_resamples_before_giveup times.
+            if len(new_X) < max(1, self.n_points_per_acq // 2):
+                self.resamples += 1
+                if self.resamples > self.n_resamples_before_giveup:
+                    self.log("Acquisition returning no values after "
+                             f"{self.resamples - 1} re-tries. Giving up.",
+                             _VERBOSITY_ERROR)
                     break
-            else:
-                n_iterations_without_acceptance = 0
-            if len(new_X) == 0:
+                self.log("Acquisition returned less than half of the "
+                         "requested points. Re-sampling ("
+                         f"{self.n_resamples_before_giveup - self.resamples}"
+                         " tries remaining)", _VERBOSITY_WARN)
                 continue
+            self.resamples = 0
 
             # [EVALUATION]
             with Timer() as timer_truth:
@@ -701,8 +708,10 @@ class Runner:
     # ------------------------------------------------------------ checkpointing
 
     def save_checkpoint(self, update_truth=False):
-        """Public checkpoint save (reference: gpry/run.py:736)."""
-        return self._save_checkpoint()
+        """Public checkpoint save (reference: gpry/run.py:736).
+        ``update_truth=False`` skips re-pickling the (never-changing) truth
+        when it is already on disk."""
+        return self._save_checkpoint(update_truth=update_truth)
 
     def read_checkpoint(self, truth=None):
         """Reload the checkpoint objects into this Runner
@@ -714,7 +723,7 @@ class Runner:
             self.options.pop("_runtime", None)
         return self
 
-    def _save_checkpoint(self):
+    def _save_checkpoint(self, update_truth=False):
         if self.checkpoint is None:
             return
         try:
@@ -725,7 +734,8 @@ class Runner:
             }
             gio.save_checkpoint(
                 self.checkpoint, self.truth, self.gpr, self.acquisition,
-                self.convergence_criterion, options, self.progress)
+                self.convergence_criterion, options, self.progress,
+                update_truth=update_truth)
         except Exception as excpt:
             self.log(f"Checkpoint saving failed: {excpt}", _VERBOSITY_WARN)
 

@@ -88,10 +88,12 @@ def test_sharded_fit_restarts_runs(mesh8, params):
     # restart's endpoint objective (catches shard-dependent optimizer
     # trajectories, not just the argmin)
     from gpry_tpu.models.gp import _fit_theta_restarts
-    thetas_1, nlls_1 = _fit_theta_restarts(
+    thetas_1, nlls_1, nevs_1 = _fit_theta_restarts(
         "rbf", params.X, params.y, params.n, 1e-4, theta0s, lo, hi,
         maxiter=100)
     nlls_1 = np.asarray(nlls_1)
+    # exact eval counts: at least 1 per lane (the initial value_and_grad)
+    assert np.all(np.asarray(nevs_1) >= 1)
     finite = np.isfinite(nlls) & np.isfinite(nlls_1)
     assert np.array_equal(np.isfinite(nlls), np.isfinite(nlls_1))
     np.testing.assert_allclose(nlls[finite], nlls_1[finite], rtol=1e-8)

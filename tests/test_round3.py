@@ -1,0 +1,281 @@
+"""
+Round-3 behavior tests: starvation-forced NS resample, checkpoint
+update_truth, predict validation, the gradient-free acquisition optimizer,
+NS-interface name checking, and jit-token staleness.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+from model_generator import random_gaussian  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Starvation parity (reference: gpry/run.py:885-911)
+# ---------------------------------------------------------------------------
+
+
+def test_nora_force_resample_reruns_ns(rng):
+    """force_resample must trigger a fresh NS run even mid mc_every
+    cadence (reference: gpry/gp_acquisition.py:1023)."""
+    from gpry_tpu.acquisition.nora import NORA
+    from gpry_tpu.models.gp import GaussianProcessRegressor
+
+    d = 2
+    bounds = np.array([[-1.0, 1.0]] * d)
+    gpr = GaussianProcessRegressor(bounds=bounds, random_state=rng)
+    X = rng.uniform(-1, 1, size=(12, d))
+    y = -np.sum(X**2, axis=1)
+    gpr.append_to_data(X, y, fit_gpr={"n_restarts": 2})
+
+    nora = NORA(bounds, mc_every=10, rng=rng, verbose=0)
+    calls = []
+    orig = nora._run_ns
+    nora._run_ns = lambda gpr: (calls.append(1), orig(gpr))[1]
+
+    nora.multi_add(gpr, n_points=2)
+    assert len(calls) == 1
+    # within mc_every cadence: reuse, no new NS run
+    nora.multi_add(gpr, n_points=2)
+    assert len(calls) == 1
+    # starved iteration: the Runner passes force_resample=True
+    nora.multi_add(gpr, n_points=2, force_resample=True)
+    assert len(calls) == 2
+
+
+def test_runner_starvation_skips_eval_and_gives_up(rng):
+    """A starved acquisition must not evaluate the truth on the sub-minimal
+    batch, must re-try with force_resample, and must give up after
+    n_resamples_before_giveup retries (reference: gpry/run.py:885-911)."""
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=11)
+    truth_calls = []
+
+    def loglike(x):
+        truth_calls.append(np.copy(x))
+        return m.loglike(x)
+
+    runner = Runner(loglike, bounds=m.bounds, seed=2, verbose=0,
+                    options={"max_total": 40, "max_initial": 20,
+                             "n_points_per_acq": 4,
+                             "n_resamples_before_giveup": 2},
+                    convergence_criterion="DontConverge")
+
+    force_flags = []
+
+    class _StarvedAcq:
+        mean = None
+        cov = None
+
+        def multi_add(self, gpr, n_points=1, bounds=None, rng=None,
+                      force_resample=False):
+            force_flags.append(force_resample)
+            # always return a single point: < max(1, 4 // 2) = starvation
+            return (np.zeros((1, 2)), np.array([0.0]), np.array([0.0]))
+
+    runner.do_initial_training()
+    n_truth_after_init = len(truth_calls)
+    runner.acquisition = _StarvedAcq()
+    runner._resumed = True  # skip re-running initial training
+    runner._run_main_loop()
+    # 1 first try + n_resamples_before_giveup retries, then give up
+    assert force_flags == [False, True, True]
+    # the starved 1-point batches were never truth-evaluated
+    assert len(truth_calls) == n_truth_after_init
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint update_truth (reference: gpry/run.py:742-745)
+# ---------------------------------------------------------------------------
+
+
+def test_save_checkpoint_update_truth(tmp_path, rng):
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=7)
+    ckpt = str(tmp_path / "ckpt")
+    runner = Runner(m.loglike, bounds=m.bounds, seed=3, verbose=0,
+                    options={"max_total": 12, "max_initial": 10},
+                    convergence_criterion="DontConverge",
+                    checkpoint=ckpt, load_checkpoint="overwrite")
+    runner.save_checkpoint()
+    tru = os.path.join(ckpt, "tru.pkl")
+    mtime0 = os.path.getmtime(tru)
+    os.utime(tru, (mtime0 - 100, mtime0 - 100))
+    mtime0 = os.path.getmtime(tru)
+    runner.save_checkpoint(update_truth=False)
+    assert os.path.getmtime(tru) == mtime0  # not re-pickled
+    runner.save_checkpoint(update_truth=True)
+    assert os.path.getmtime(tru) > mtime0
+
+
+# ---------------------------------------------------------------------------
+# predict() input validation (reference inherits sklearn validate_data)
+# ---------------------------------------------------------------------------
+
+
+def test_predict_validate(rng):
+    from gpry_tpu.models.gp import GaussianProcessRegressor
+
+    bounds = np.array([[-1.0, 1.0]] * 2)
+    gpr = GaussianProcessRegressor(bounds=bounds, random_state=rng)
+    X = rng.uniform(-1, 1, size=(8, 2))
+    gpr.append_to_data(X, -np.sum(X**2, axis=1),
+                       fit_gpr={"n_restarts": 1})
+    with pytest.raises(ValueError, match="must be"):
+        gpr.predict(np.zeros((3, 5)))
+    with pytest.raises(ValueError, match="NaN"):
+        gpr.predict(np.array([[0.0, np.nan]]))
+    # validate=False skips the checks (hot path)
+    out = gpr.predict(np.zeros((2, 2)), validate=False)
+    assert out.shape == (2,)
+
+
+# ---------------------------------------------------------------------------
+# Gradient-free ("sampling" / Powell) acquisition optimizer
+# (reference: gpry/gp_acquisition.py:502-523)
+# ---------------------------------------------------------------------------
+
+
+def test_batch_optimizer_sampling_powell(rng):
+    from gpry_tpu.acquisition.batch_optimizer import BatchOptimizer
+    from gpry_tpu.models.gp import GaussianProcessRegressor
+
+    d = 2
+    bounds = np.array([[-1.0, 1.0]] * d)
+    gpr = GaussianProcessRegressor(bounds=bounds, random_state=rng)
+    X = rng.uniform(-1, 1, size=(14, d))
+    gpr.append_to_data(X, -8 * np.sum(X**2, axis=1),
+                       fit_gpr={"n_restarts": 2})
+    acq = BatchOptimizer(bounds, acq_optimizer="sampling",
+                         n_restarts_optimizer=4, verbose=0)
+    X_out, y_lies, acq_vals = acq.multi_add(gpr, n_points=2, rng=rng)
+    assert X_out.shape == (2, d)
+    assert np.all(np.isfinite(acq_vals))
+    assert np.all((X_out >= -1) & (X_out <= 1))
+
+
+def test_batch_optimizer_callable_optimizer(rng):
+    from gpry_tpu.acquisition.batch_optimizer import BatchOptimizer
+    from gpry_tpu.models.gp import GaussianProcessRegressor
+
+    d = 2
+    bounds = np.array([[-1.0, 1.0]] * d)
+    gpr = GaussianProcessRegressor(bounds=bounds, random_state=rng)
+    X = rng.uniform(-1, 1, size=(10, d))
+    gpr.append_to_data(X, -5 * np.sum(X**2, axis=1),
+                       fit_gpr={"n_restarts": 2})
+
+    def my_opt(obj, x0, bounds=None):
+        return x0, obj(x0)  # no-op "optimizer"
+
+    acq = BatchOptimizer(bounds, acq_optimizer=my_opt,
+                         n_restarts_optimizer=4, verbose=0)
+    X_out, _, acq_vals = acq.multi_add(gpr, n_points=1, rng=rng)
+    assert X_out.shape == (1, d)
+    assert np.all(np.isfinite(acq_vals))
+
+
+# ---------------------------------------------------------------------------
+# NS interface registry strictness
+# ---------------------------------------------------------------------------
+
+
+def test_init_nested_sampler_unknown_name_raises():
+    from gpry_tpu.mc.interfaces import init_nested_sampler
+
+    with pytest.raises(ValueError, match="Unknown nested sampler"):
+        init_nested_sampler("polychrod")  # typo must not fall through
+
+
+def test_init_nested_sampler_fallback_warns():
+    from gpry_tpu.mc import interfaces as ifc
+
+    class _Unimportable(ifc.InterfaceDevice):
+        def __init__(self, **kw):
+            raise ImportError("not installed")
+
+    orig = ifc._ns_interfaces
+    ifc._ns_interfaces = dict(orig, polychord=_Unimportable,
+                              ultranest=_Unimportable)
+    try:
+        with pytest.warns(UserWarning, match="falling back to 'device'"):
+            iface = ifc.init_nested_sampler("polychord")
+        assert isinstance(iface, ifc.InterfaceDevice)
+    finally:
+        ifc._ns_interfaces = orig
+
+
+# ---------------------------------------------------------------------------
+# jit-token freshness under direct attribute mutation
+# ---------------------------------------------------------------------------
+
+
+def test_acq_jit_token_tracks_attribute_mutation():
+    import jax.numpy as jnp
+
+    from gpry_tpu.acquisition.functions import LogExp, acq_values_jit
+
+    acqf = LogExp(zeta=1.0)
+    mu = jnp.asarray([0.0, -1.0])
+    std = jnp.asarray([0.5, 0.5])
+    v1 = np.asarray(acq_values_jit(acqf, mu, std, 0.0, 0.0))
+    acqf.zeta = 3.0  # direct mutation, no set_params
+    v2 = np.asarray(acq_values_jit(acqf, mu, std, 0.0, 0.0))
+    expect = 2.0 * 3.0 * np.asarray(mu) + 0.5 * np.log(0.25)
+    np.testing.assert_allclose(v2, expect, rtol=1e-6)
+    assert not np.allclose(v1, v2)
+
+
+# ---------------------------------------------------------------------------
+# TruthCobaya checkpoint round-trip (reference: gpry/truth.py:165-237)
+# ---------------------------------------------------------------------------
+
+
+def test_truth_cobaya_checkpoint_roundtrip(tmp_path):
+    import importlib
+
+    if importlib.util.find_spec("cobaya") is None:
+        import minicobaya
+        minicobaya.install()
+        cleanup = minicobaya.uninstall
+    else:
+        cleanup = lambda: None
+    try:
+        from cobaya.model import get_model
+
+        from gpry_tpu import io as gio
+        from gpry_tpu.truth import TruthCobaya
+
+        def loglike(x, y):
+            return -0.5 * (x**2 + y**2) / 0.04
+
+        info = {
+            "likelihood": {"gauss": {
+                "external": loglike, "input_params": ["x", "y"]}},
+            "params": {
+                "x": {"prior": {"min": -2, "max": 2}},
+                "y": {"prior": {"min": -2, "max": 2}},
+            },
+        }
+        truth = TruthCobaya(get_model(info))
+        from gpry_tpu.progress import Progress
+        gio.save_checkpoint(str(tmp_path), truth, _DummyGPR(), None, None,
+                            {}, Progress())
+        tru2, *_ = gio.read_checkpoint(str(tmp_path))
+        assert isinstance(tru2, TruthCobaya)
+        assert tru2.params == ["x", "y"]
+        x = np.array([0.1, -0.2])
+        assert np.isclose(tru2.logp(x), truth.logp(x))
+    finally:
+        cleanup()
+
+
+class _DummyGPR:
+    pass
