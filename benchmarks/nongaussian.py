@@ -1,0 +1,189 @@
+"""
+Non-Gaussian benchmark battery (reference fixtures:
+tests/model_generator.py:84-291): Loggaussian, Curved degeneracy (with an
+-inf floor so the SVM infinities classifier actually trains — BASELINE
+config 4), Ring, Himmelblau, Rosenbrock, Spike.
+
+Metric: there is no analytic posterior for most of these, so accuracy is a
+moments-level comparison — the symmetric Gaussian-KL between the moments of
+(a) the surrogate's final MC sample and (b) a "ground truth" MC sample
+drawn by the same ensemble-MH sampler directly on the true log-likelihood
+(cheap for these synthetic fixtures).  Both samples use the identical
+sampler (benchmarks/parity.py:mh_sample_surrogate), so estimator bias
+cancels.  For the curved+SVM fixture the reference engine is also run
+head-to-head (VERDICT round-2 item 3).
+
+Usage: python benchmarks/nongaussian.py [--seeds 100,101,102]
+Writes benchmarks/results_nongaussian.json.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "tests"))
+sys.path.insert(0, str(Path(__file__).parent.parent))
+sys.path.insert(0, str(Path(__file__).parent))
+
+from parity import mh_sample_surrogate, run_reference  # noqa: E402
+
+CURVED_INF_FLOOR = -150.0
+
+
+def _fixtures(seed):
+    from model_generator import (curved_degeneracy, himmelblau, loggaussian,
+                                 ring, rosenbrock, spike)
+    return [
+        loggaussian(d=4, d_log=2, rng=seed),
+        curved_degeneracy(inf_floor=CURVED_INF_FLOOR),
+        ring(),
+        himmelblau(),
+        rosenbrock(),
+        spike(),
+    ]
+
+
+def moments_kl(Xa, wa, Xb, wb):
+    """Symmetric Gaussian-KL between the moments of two weighted samples."""
+    from gpry_tpu.utils.tools import kl_norm, mean_covmat_from_samples
+    ma, Ca = mean_covmat_from_samples(Xa, wa)
+    mb, Cb = mean_covmat_from_samples(Xb, wb)
+    return float(max(kl_norm(ma, Ca, mb, Cb), kl_norm(mb, Cb, ma, Ca)))
+
+
+def truth_sample(model, seed):
+    """Ground-truth ensemble-MH sample on the true loglike."""
+
+    def logp_batch(X):
+        return np.array([model.loglike(x) for x in np.atleast_2d(X)])
+
+    rng = np.random.default_rng(77_000 + seed)
+    return mh_sample_surrogate(logp_batch, model.bounds, rng,
+                               n_walkers=64, n_steps=6000)
+
+
+def run_repo_nora(model, seed, verbose=1):
+    """This repo's Runner with the production NORA engine + device NS MC."""
+    from gpry_tpu.run import Runner
+
+    t0 = time.time()
+    runner = Runner(model.loglike, bounds=model.bounds, seed=seed,
+                    verbose=verbose, gp_acquisition={"NORA": {}})
+    runner.run()
+    if runner.last_mc_result is None:
+        runner.generate_mc_sample()
+    r = runner.last_mc_result
+    return {
+        "engine": "gpry_tpu(NORA)",
+        "converged": bool(runner.has_converged),
+        "n_total": int(runner.gpr.n_total),
+        "n_finite": int(runner.gpr.n),
+        "svm_active": bool(runner.gpr.n < runner.gpr.n_total),
+        "wall_s": time.time() - t0,
+        "mc_X": r["X"], "mc_w": r["weights"],
+    }
+
+
+def run_battery(seeds=(100, 101, 102), verbose=1, with_reference=True):
+    rows = []
+    for seed in seeds:
+        for model in _fixtures(seed):
+            print(f"--- {model.name} seed={seed} ...", flush=True)
+            Xt, wt = truth_sample(model, seed)
+            try:
+                res = run_repo_nora(model, seed, verbose=verbose)
+            except Exception as excpt:
+                rows.append({"fixture": model.name, "seed": seed,
+                             "engine": "gpry_tpu(NORA)",
+                             "error": f"{type(excpt).__name__}: {excpt}"})
+                print(f"    FAILED: {excpt}", flush=True)
+                continue
+            mcX, mcw = res.pop("mc_X"), res.pop("mc_w")
+            res.update({
+                "fixture": model.name, "seed": seed,
+                "moments_kl_vs_truth": moments_kl(mcX, mcw, Xt, wt),
+            })
+            rows.append(res)
+            print(f"    {res['engine']}: converged={res['converged']} "
+                  f"n_total={res['n_total']} n_finite={res['n_finite']} "
+                  f"momKL={res['moments_kl_vs_truth']:.4f} "
+                  f"wall={res['wall_s']:.1f}s", flush=True)
+            # head-to-head vs the reference on the curved+SVM fixture
+            if with_reference and model.name == "curved_degeneracy_inf":
+                try:
+                    ref = run_reference(model, seed, verbose=verbose)
+                    predict = ref.pop("predict")
+                    rng_mc = np.random.default_rng(10_000 + seed)
+                    Xs, ws = mh_sample_surrogate(predict, model.bounds,
+                                                 rng_mc)
+                    ref.update({
+                        "fixture": model.name, "seed": seed,
+                        "moments_kl_vs_truth": moments_kl(Xs, ws, Xt, wt),
+                    })
+                    rows.append(ref)
+                    print(f"    reference: converged={ref['converged']} "
+                          f"n_total={ref['n_total']} "
+                          f"momKL={ref['moments_kl_vs_truth']:.4f} "
+                          f"wall={ref['wall_s']:.1f}s", flush=True)
+                except Exception as excpt:
+                    rows.append({"fixture": model.name, "seed": seed,
+                                 "engine": "reference",
+                                 "error": f"{type(excpt).__name__}: "
+                                          f"{excpt}"})
+                    print(f"    reference FAILED: {excpt}", flush=True)
+    return rows
+
+
+def summarize(rows):
+    out = {"curved_inf_floor": CURVED_INF_FLOOR, "rows": rows,
+           "summary": []}
+    fixtures = sorted({r["fixture"] for r in rows if "error" not in r})
+    for fx in fixtures:
+        for engine in sorted({r["engine"] for r in rows
+                              if r.get("fixture") == fx
+                              and "error" not in r}):
+            sel = [r for r in rows if r.get("fixture") == fx
+                   and r.get("engine") == engine and "error" not in r]
+            out["summary"].append({
+                "fixture": fx, "engine": engine,
+                "evals_to_stop": [r["n_total"] for r in sel],
+                "n_finite": [r["n_finite"] for r in sel],
+                "svm_active": [bool(r.get("svm_active",
+                                          r["n_finite"] < r["n_total"]))
+                               for r in sel],
+                "moments_kl": [round(r["moments_kl_vs_truth"], 4)
+                               for r in sel],
+                "n_converged": int(sum(r["converged"] for r in sel)),
+                "wall_s_median": float(np.median([r["wall_s"]
+                                                  for r in sel])),
+            })
+    return out
+
+
+if __name__ == "__main__":
+    import argparse
+
+    import jax
+    jax.config.update("jax_default_device", "cpu")
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="100,101,102")
+    ap.add_argument("--verbose", type=int, default=1)
+    ap.add_argument("--no-reference", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    seeds = tuple(int(x) for x in args.seeds.split(","))
+    rows = run_battery(seeds=seeds, verbose=args.verbose,
+                       with_reference=not args.no_reference)
+    out = summarize(rows)
+    path = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "results_nongaussian.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, default=float)
+    print(json.dumps(out["summary"], indent=1))
+    print(f"-> {path}")

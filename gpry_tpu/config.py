@@ -26,21 +26,127 @@ _X64 = os.environ.get("GPRY_TPU_X64", "1") not in ("0", "false", "False")
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache (OPT-IN via GPRY_TPU_COMP_CACHE=1): caching
-# helps the minutes-long TPU compiles, but on this infrastructure the cache
-# has served CPU AOT executables compiled with mismatched machine features
+# ---------------------------------------------------------------------------
+# Persistent compilation cache, guarded by an integrity canary.
+#
+# Caching kills the cold-compile tax (iter-0 fit was ~20 s on the TPU
+# tunnel, BENCH_r02), but on this infrastructure a shared cache has served
+# CPU AOT executables compiled with mismatched machine features
 # ("+prefer-no-gather ... could lead to SIGILL"), silently corrupting
-# results — so it stays off unless explicitly requested.
-if os.environ.get("GPRY_TPU_COMP_CACHE", "0") in ("1", "true"):
+# results.  The cache is therefore ON by default (GPRY_TPU_COMP_CACHE=0 to
+# opt out) but only after a canary check:
+#
+# 1. Once per (cache dir, machine fingerprint): a SUBPROCESS enables the
+#    cache, compiles + executes a deterministic canary and compares to
+#    numpy.  A mismatched-machine-features executable either SIGILLs the
+#    subprocess (rc != 0) or prints wrong numbers; both reject the cache
+#    dir, which is then wiped and disabled for this run.  Success writes a
+#    fingerprint stamp so later imports skip the subprocess.
+# 2. Every import (stamped): a cheap in-process CPU canary executes under
+#    the live cache and is compared to numpy — catching wrong-numbers
+#    corruption that appeared after stamping.
+# ---------------------------------------------------------------------------
+
+_CANARY_SRC = """
+import os, sys
+import numpy as np
+os.environ.pop("GPRY_TPU_COMP_CACHE", None)
+os.environ["JAX_PLATFORMS"] = "cpu"  # skip accelerator-plugin init: the
+# corruption mode under test is CPU AOT executables, and CPU-only import
+# is seconds instead of minutes on the TPU tunnel
+import jax
+jax.config.update("jax_compilation_cache_dir", sys.argv[1])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+cpu = jax.devices("cpu")[0]
+a = jnp.asarray(np.arange(64, dtype=np.float32).reshape(8, 8) / 7.0)
+a = jax.device_put(a, cpu)
+out = np.asarray(jax.jit(lambda x: (x @ x.T + jnp.sin(x)).sum())(a))
+expect = (np.asarray(a) @ np.asarray(a).T + np.sin(np.asarray(a))).sum()
+assert abs(out - expect) < 1e-3 * abs(expect), (out, expect)
+print("CANARY-OK")
+"""
+
+
+def _machine_fingerprint():
+    import hashlib
+    import platform
+    parts = [jax.__version__, platform.machine(), platform.processor()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _inprocess_canary_ok():
+    import numpy as np
+    import jax.numpy as jnp
+    try:
+        cpu = jax.devices("cpu")[0]
+        a = np.arange(64, dtype=np.float32).reshape(8, 8) / 7.0
+        ad = jax.device_put(jnp.asarray(a), cpu)
+        out = float(np.asarray(
+            jax.jit(lambda x: (x @ x.T + jnp.sin(x)).sum())(ad)))
+        expect = float((a @ a.T + np.sin(a)).sum())
+        return abs(out - expect) < 1e-3 * abs(expect)
+    except Exception:
+        return False
+
+
+def _enable_comp_cache(cache_dir):
+    import shutil
+    import subprocess
+    import sys as _sys
+    import warnings as _warnings
+    os.makedirs(cache_dir, exist_ok=True)
+    stamp = os.path.join(cache_dir, f"canary_ok_{_machine_fingerprint()}")
+    if not os.path.exists(stamp):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("GPRY_TPU_COMP_CACHE", None)
+        try:
+            proc = subprocess.run(
+                [_sys.executable, "-c", _CANARY_SRC, cache_dir],
+                capture_output=True, text=True, timeout=180, env=env)
+            ok = proc.returncode == 0 and "CANARY-OK" in proc.stdout
+        except Exception:
+            ok = False
+        if not ok:
+            _warnings.warn(
+                f"XLA persistent cache at {cache_dir} failed the integrity "
+                "canary (possible mismatched-machine-features executables); "
+                "wiping and disabling it for this run.")
+            shutil.rmtree(cache_dir, ignore_errors=True)
+            return False
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(stamp, "w") as f:
+            f.write("ok\n")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if not _inprocess_canary_ok():
+        _warnings.warn(
+            f"XLA persistent cache at {cache_dir} served a numerically "
+            "wrong canary executable; wiping and disabling it.")
+        jax.config.update("jax_compilation_cache_dir", None)
+        shutil.rmtree(cache_dir, ignore_errors=True)
+        return False
+    return True
+
+
+COMP_CACHE_ACTIVE = False
+if os.environ.get("GPRY_TPU_COMP_CACHE", "1") not in ("0", "false",
+                                                      "False"):
     _cache_dir = os.environ.get(
         "GPRY_TPU_COMP_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "gpry_tpu_xla"))
     try:
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        COMP_CACHE_ACTIVE = _enable_comp_cache(_cache_dir)
     except Exception:  # cache is best-effort
-        pass
+        COMP_CACHE_ACTIVE = False
 
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 

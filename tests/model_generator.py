@@ -49,17 +49,52 @@ def random_gaussian(d=2, prior_size_in_std=5.0, rng=None):
                           name=f"gaussian_d{d}")
 
 
-def curved_degeneracy(rng=None):
+def loggaussian(d=4, d_log=2, prior_size_in_std=5.0, rng=None):
+    """Random Gaussian with the first ``d_log`` directions in log-scale
+    (the likelihood exponentiates them: x -> 10**x), mean 0
+    (reference: tests/model_generator.py:84-111)."""
+    rng = rng if isinstance(rng, np.random.Generator) \
+        else np.random.default_rng(rng)
+    assert d >= d_log
+    std = rng.uniform(0.5, 2.0, size=d)
+    cov = invwishart.rvs(df=d + 4, scale=np.diag(std**2) * (d + 4),
+                         random_state=np.random.RandomState(
+                             rng.integers(2**31)))
+    cov = np.atleast_2d(cov)
+    mean = np.zeros(d)
+    inv = np.linalg.inv(cov)
+    stds = np.sqrt(np.diag(cov))
+    bounds = np.stack([-prior_size_in_std * stds,
+                       prior_size_in_std * stds], axis=1)
+    log_norm = -0.5 * (d * np.log(2 * np.pi)
+                       + np.linalg.slogdet(cov)[1])
+
+    def loglike(x):
+        z = np.array(np.atleast_1d(x), dtype=float)
+        z[:d_log] = 10.0 ** z[:d_log]
+        diff = z - mean
+        return float(log_norm - 0.5 * diff @ inv @ diff)
+
+    return SyntheticModel(loglike, bounds, name=f"loggaussian_d{d}")
+
+
+def curved_degeneracy(rng=None, inf_floor=None):
     """Curved (banana-like) quartic degeneracy
-    (reference: tests/model_generator.py:113)."""
+    (reference: tests/model_generator.py:113).  With ``inf_floor`` set,
+    log-likelihoods below the floor return -inf — this makes the SVM
+    infinities classifier actually train (BASELINE config 4)."""
 
     def loglike(x):
         x_, y_ = np.atleast_1d(x)
-        return float(-(10 * (0.45 - x_)) ** 2 / 4
-                     - (20 * (y_ / 4 - x_ ** 4)) ** 2)
+        val = float(-(10 * (0.45 - x_)) ** 2 / 4
+                    - (20 * (y_ / 4 - x_ ** 4)) ** 2)
+        if inf_floor is not None and val < inf_floor:
+            return -np.inf
+        return val
 
     bounds = np.array([[-0.5, 1.5], [-0.5, 2.0]])
-    return SyntheticModel(loglike, bounds, name="curved_degeneracy")
+    name = "curved_degeneracy" + ("" if inf_floor is None else "_inf")
+    return SyntheticModel(loglike, bounds, name=name)
 
 
 def ring(mean_radius=1.0, std=0.05, offset=0.0, rng=None):
