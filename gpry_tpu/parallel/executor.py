@@ -4,9 +4,17 @@ Host-side parallel truth evaluation.
 The reference parallelizes user-likelihood evaluations by splitting batches
 across MPI ranks (gpry/run.py:1200-1236, gpry/mpi.py:80-102).  In the
 single-controller TPU design the only genuinely host-bound work is this
-user-Python callable, so it runs in a local executor instead: serial by
-default (zero overhead for fast likelihoods), thread pool for I/O-bound or
-GIL-releasing likelihoods, process pool (dill-pickled) for CPU-bound ones.
+user-Python callable, so it runs in a local executor by default: serial
+(zero overhead for fast likelihoods), thread pool for I/O-bound or
+GIL-releasing likelihoods, process pool (cloudpickled) for CPU-bound ones.
+
+For MULTI-HOST truth evaluation over DCN there is additionally
+``mode="mpi"``: under ``mpirun -n k`` rank 0 keeps driving the device loop
+(single-controller) while each ``logp_batch`` is contiguously split over
+all k ranks (the exact decomposition of the reference's
+``_eval_truth_parallel``, gpry/run.py:1200-1236 + gpry/mpi.py:80-102);
+non-root ranks run ``serve()`` — a command loop evaluating their slice of
+every broadcast batch — until the controller sends a stop.
 """
 
 import os
@@ -37,7 +45,7 @@ class TruthExecutor:
 
     Parameters
     ----------
-    mode : "serial" (default), "threads", or "processes"
+    mode : "serial" (default), "threads", "processes", or "mpi"
     max_workers : int, optional (default: CPU count)
     """
 
@@ -56,12 +64,59 @@ class TruthExecutor:
             import cloudpickle
             self._payload = cloudpickle.dumps(truth.logp)
             self._pool = ProcessPoolExecutor(max_workers=self.max_workers)
-        elif mode != "serial":
+        elif mode not in ("serial", "mpi"):
             raise ValueError(f"Unknown executor mode '{mode}'.")
+
+    # -- MPI (multi-host, DCN) mode ------------------------------------------
+
+    @staticmethod
+    def _mpi():
+        from gpry_tpu import mpi
+        return mpi
+
+    def _eval_slice(self, X, rank, size):
+        """This rank's contiguous slice of the batch, evaluated
+        (reference decomposition: gpry/mpi.py:80-102)."""
+        from gpry_tpu.mpi import split_number_for_parallel_processes
+        sizes = split_number_for_parallel_processes(len(X), size)
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        return [self.truth.logp(x) for x in X[offs[rank]:offs[rank + 1]]]
+
+    def serve(self):
+        """Worker command loop for non-root ranks under ``mode="mpi"``:
+        evaluate this rank's slice of every broadcast batch until the
+        controller broadcasts a stop (the DCN analogue of the reference's
+        lockstep `_eval_truth_parallel`, gpry/run.py:1200-1236)."""
+        mpi = self._mpi()
+        comm = mpi.mpi_comm
+        while True:
+            cmd = comm.bcast(None, root=0)
+            if cmd is None or cmd[0] == "stop":
+                break
+            X = np.atleast_2d(cmd[1])
+            comm.gather(self._eval_slice(X, mpi.RANK, mpi.SIZE), root=0)
+
+    def stop_workers(self):
+        """Release serving worker ranks (controller only)."""
+        mpi = self._mpi()
+        if self.mode == "mpi" and mpi.multiple_processes \
+                and mpi.is_main_process and mpi.mpi_comm is not None:
+            mpi.mpi_comm.bcast(("stop",), root=0)
 
     def logp_batch(self, X):
         """Evaluate the truth at each row of X, returning an array."""
         X = np.atleast_2d(X)
+        if self.mode == "mpi":
+            mpi = self._mpi()
+            if mpi.multiple_processes and mpi.mpi_comm is not None:
+                comm = mpi.mpi_comm
+                comm.bcast(("eval", X), root=0)
+                mine = self._eval_slice(X, mpi.RANK, mpi.SIZE)
+                gathered = comm.gather(mine, root=0)
+                return np.concatenate(
+                    [np.asarray(g, dtype=float) for g in gathered])
+            # single-process launch: plain serial
+            return np.array([self.truth.logp(x) for x in X])
         if self._pool is None:
             return np.array([self.truth.logp(x) for x in X])
         if self._payload is not None:

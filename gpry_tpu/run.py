@@ -380,9 +380,18 @@ class Runner:
     def _run_mpi_guarded(self):
         from gpry_tpu import mpi
         if mpi.multiple_processes and not mpi.is_main_process:
-            self.log("Multi-rank MPI launch: rank 0 runs the loop; "
-                     f"rank {mpi.RANK} waits (single-controller design).",
-                     _VERBOSITY_WARN)
+            if self.executor.mode == "mpi":
+                # DCN truth-evaluation worker: evaluate this rank's slice
+                # of every batch rank 0 broadcasts, until the loop ends
+                # (reference: gpry/run.py:1200-1236)
+                self.log(f"Multi-rank MPI launch: rank {mpi.RANK} serving "
+                         "truth evaluations (single-controller loop on "
+                         "rank 0).", _VERBOSITY_WARN)
+                self.executor.serve()
+            else:
+                self.log("Multi-rank MPI launch: rank 0 runs the loop; "
+                         f"rank {mpi.RANK} waits (single-controller "
+                         "design).", _VERBOSITY_WARN)
             mpi.sync_processes()
             if self.checkpoint is not None and \
                     bool(np.all(gio.check_checkpoint(self.checkpoint))):
@@ -395,6 +404,7 @@ class Runner:
             self._run_main_loop()
         finally:
             if mpi.multiple_processes:
+                self.executor.stop_workers()
                 mpi.sync_processes()
         return self
 

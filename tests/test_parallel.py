@@ -284,3 +284,150 @@ def test_runner_nonroot_rank_waits(monkeypatch, tmp_path):
     assert barriers == [1]              # waited at the barrier
     assert truth_evals["n"] == 0        # did NOT duplicate the loop
     assert r1.gpr.n_total == n_expected  # state re-synced from checkpoint
+
+
+class _FakeComm4:
+    """Controller-side fake of a 4-rank MPI world: rank 0 is the live
+    process; ranks 1-3 are simulated by evaluating their slices inline
+    with per-rank eval counters."""
+
+    def __init__(self, worker_truths):
+        self.cmds = []
+        self.worker_truths = worker_truths  # rank -> truth-like object
+
+    def bcast(self, value, root=0):
+        self.cmds.append(value)
+        return value
+
+    def gather(self, value, root=0):
+        from gpry_tpu.parallel.executor import TruthExecutor
+        cmd = self.cmds[-1]
+        assert cmd[0] == "eval"
+        X = np.atleast_2d(cmd[1])
+        out = [value]
+        for rank in (1, 2, 3):
+            ex = TruthExecutor(self.worker_truths[rank], mode="serial")
+            out.append(ex._eval_slice(X, rank, 4))
+        return out
+
+
+def test_mpi_truth_executor_distributes_4way(monkeypatch):
+    """mode='mpi': a batch is contiguously split over the 4-rank world and
+    re-concatenated in order (the reference's _eval_truth_parallel
+    decomposition, gpry/run.py:1200-1236)."""
+    from gpry_tpu import mpi
+    from gpry_tpu.parallel.executor import TruthExecutor
+
+    class _T:
+        def __init__(self):
+            self.n = 0
+
+        def logp(self, x):
+            self.n += 1
+            return -float(np.sum(np.asarray(x) ** 2))
+
+    worker_truths = {r: _T() for r in (1, 2, 3)}
+    comm = _FakeComm4(worker_truths)
+    monkeypatch.setattr(mpi, "multiple_processes", True)
+    monkeypatch.setattr(mpi, "is_main_process", True)
+    monkeypatch.setattr(mpi, "RANK", 0)
+    monkeypatch.setattr(mpi, "SIZE", 4)
+    monkeypatch.setattr(mpi, "mpi_comm", comm)
+
+    t0 = _T()
+    ex = TruthExecutor(t0, mode="mpi")
+    X = np.random.default_rng(0).normal(size=(10, 3))
+    out = ex.logp_batch(X)
+    expected = np.array([-np.sum(x**2) for x in X])
+    np.testing.assert_allclose(out, expected)
+    # 10 points over 4 ranks: contiguous split [3, 3, 2, 2]
+    assert t0.n == 3
+    assert [worker_truths[r].n for r in (1, 2, 3)] == [3, 2, 2]
+
+
+def test_mpi_executor_worker_serves(monkeypatch):
+    """serve(): a worker rank evaluates ITS slice of every broadcast batch
+    until the stop command."""
+    from gpry_tpu import mpi
+    from gpry_tpu.parallel.executor import TruthExecutor
+
+    X = np.arange(20, dtype=float).reshape(10, 2)
+
+    class _WorkerComm:
+        def __init__(self):
+            self.commands = [("eval", X), ("stop",)]
+            self.gathered = []
+
+        def bcast(self, value, root=0):
+            return self.commands.pop(0)
+
+        def gather(self, value, root=0):
+            self.gathered.append(value)
+            return None  # non-root gets None
+
+    comm = _WorkerComm()
+    monkeypatch.setattr(mpi, "multiple_processes", True)
+    monkeypatch.setattr(mpi, "is_main_process", False)
+    monkeypatch.setattr(mpi, "RANK", 2)
+    monkeypatch.setattr(mpi, "SIZE", 4)
+    monkeypatch.setattr(mpi, "mpi_comm", comm)
+
+    class _T:
+        def logp(self, x):
+            return float(x[0])
+
+    ex = TruthExecutor(_T(), mode="mpi")
+    ex.serve()  # returns on the stop command
+    # rank 2 of 4 over 10 items: offsets [0,3,6,8,10] -> rows 6,7
+    assert comm.gathered == [[12.0, 14.0]]
+
+
+def test_runner_mpi_executor_end_to_end(monkeypatch):
+    """Runner(truth_executor='mpi') under a (fake) 4-rank world: the loop
+    stays single-controller on rank 0 but every truth batch distributes
+    4-way; the loop end releases the workers with a stop broadcast."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from model_generator import random_gaussian
+    from gpry_tpu import mpi
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=12)
+
+    class _WT:
+        def __init__(self):
+            self.n = 0
+
+        def logp(self, x):
+            self.n += 1
+            return m.loglike(x)
+
+    worker_truths = {r: _WT() for r in (1, 2, 3)}
+    comm = _FakeComm4(worker_truths)
+    monkeypatch.setattr(mpi, "multiple_processes", True)
+    monkeypatch.setattr(mpi, "is_main_process", True)
+    monkeypatch.setattr(mpi, "RANK", 0)
+    monkeypatch.setattr(mpi, "SIZE", 4)
+    monkeypatch.setattr(mpi, "mpi_comm", comm)
+    monkeypatch.setattr(mpi, "sync_processes", lambda: None)
+
+    root_evals = {"n": 0}
+
+    def loglike(x):
+        root_evals["n"] += 1
+        return m.loglike(x)
+
+    runner = Runner(loglike, bounds=m.bounds, seed=12, verbose=1,
+                    truth_executor="mpi",
+                    options={"max_total": 16, "max_initial": 12,
+                             "n_points_per_acq": 4},
+                    convergence_criterion="DontConverge")
+    runner.run()
+    worker_n = sum(t.n for t in worker_truths.values())
+    assert worker_n > 0, "no truth evals distributed to worker ranks"
+    # rank 0 must NOT have evaluated everything itself
+    assert root_evals["n"] < runner.gpr.n_total
+    assert root_evals["n"] + worker_n == runner.gpr.n_total
+    # the loop end released the workers
+    assert comm.cmds[-1][0] == "stop"
