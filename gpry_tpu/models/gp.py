@@ -1086,7 +1086,11 @@ class GaussianProcessRegressor:
                 p.alpha, Xq_)
             cov = np.asarray(cov_) * float(p.y_scale) ** 2
             return np.asarray(mean), cov
-        mean, std = surrogate_predict(self.family, p, Xd)
+        # Mesh-aware dispatch: large batches DP-shard over the rows; small
+        # batches with a large training buffer TP-shard over the training
+        # axis; otherwise plain single-device (parallel/mesh.py).
+        from gpry_tpu.parallel.mesh import predict_maybe_sharded
+        mean, std = predict_maybe_sharded(self.family, p, Xd)
         out = [np.asarray(mean)]
         if return_std:
             out.append(np.asarray(std))

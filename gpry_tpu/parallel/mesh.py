@@ -54,7 +54,15 @@ _MESH_ENABLED = True
 
 #: host-side counters of sharded-path dispatches (observability: lets the
 #: multichip dry run assert the production loop really used the mesh)
-SHARD_STATS = {"predict": 0, "fit": 0}
+SHARD_STATS = {"predict": 0, "fit": 0, "tp": 0}
+
+#: TP routing threshold: the TP (training-axis) predict path engages when
+#: the padded training buffer is at least this large AND the query batch is
+#: too small for row-DP to occupy the mesh.  At this workload's N the
+#: crossover favors DP whenever enough query rows exist (DP has zero
+#: comms); TP covers the starved-DP regime (few queries, large N), where
+#: single-device execution was the previous fallback.
+TP_NMAX_MIN = 512
 
 
 @contextlib.contextmanager
@@ -179,6 +187,85 @@ def device_put_sharded_rows(X, mesh, axis_name="data"):
 
 
 # ---------------------------------------------------------------------------
+# TP (training-axis) gated prediction
+# ---------------------------------------------------------------------------
+# Mean: partial K(q, X_shard) @ alpha_shard, psum over shards (as in
+# tp_predict_mean).  Std: with M = K^-1 sharded by training rows,
+# sigma^2(q) = prior_var(q) - k_q^T M k_q, where each device computes
+# k_q_shard^T (M_shard @ k_q_full); one tiled all_gather of k_q + one psum.
+# M is computed once per factorization from the padded L (identity padding
+# makes its padded block the identity; masked k_q rows keep it inert) and
+# cached against the L buffer identity.
+
+_KINV_CACHE = []  # [(L_ref, M)], newest last, bounded
+_KINV_CACHE_MAX = 4
+
+
+def _kinv_for(p):
+    from jax.scipy.linalg import cho_solve
+    for L_ref, M in _KINV_CACHE:
+        if L_ref is p.L:
+            return M
+    nmax = p.L.shape[0]
+    M = cho_solve((p.L, True), jnp.eye(nmax, dtype=p.L.dtype))
+    _KINV_CACHE.append((p.L, M))
+    del _KINV_CACHE[:-_KINV_CACHE_MAX]
+    return M
+
+
+@partial(jax.jit, static_argnames=("family", "mesh", "axis_name"))
+def _tp_predict_raw(family, p, M, Xq_, mesh, axis_name="data"):
+    from gpry_tpu.ops.kernels import kernel_diag
+    nmax = p.X.shape[0]
+    n_dev = mesh.shape[axis_name]
+    row_starts = (jnp.arange(n_dev) * (nmax // n_dev))[:, None]
+
+    def local(X_shard, alpha_shard, M_shard, row0):
+        idx = row0[0] + jnp.arange(X_shard.shape[0])
+        m = (idx < p.n).astype(X_shard.dtype)
+        Kq_shard = cross_kernel(family, p.theta, X_shard, Xq_) \
+            * m[:, None]                                     # (nloc, nq)
+        mean_part = Kq_shard.T @ alpha_shard                 # (nq,)
+        k_full = jax.lax.all_gather(Kq_shard, axis_name,
+                                    axis=0, tiled=True)      # (nmax, nq)
+        t_shard = M_shard @ k_full                           # (nloc, nq)
+        quad_part = jnp.sum(Kq_shard * t_shard, axis=0)      # (nq,)
+        return (jax.lax.psum(mean_part, axis_name),
+                jax.lax.psum(quad_part, axis_name))
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name), P(axis_name, None),
+                  P(axis_name, None)),
+        out_specs=(P(None), P(None)), check_vma=False)
+    mean_, quad = fn(p.X, p.alpha, M, row_starts)
+    prior_var = kernel_diag(family, p.theta, Xq_)
+    return mean_, jnp.maximum(prior_var - quad, 0.0)
+
+
+def tp_predict(family, p, Xq_raw, mesh, axis_name="data"):
+    """
+    Gated (mean, std) prediction with the TRAINING axis TP-sharded over the
+    mesh — same semantics as ``surrogate_predict`` (clip + SVM + trust
+    gates applied in a replicated elementwise pass).
+    """
+    from gpry_tpu.models.classifier import svm_decision
+    Xq_ = (Xq_raw - p.x_loc) / p.x_scale
+    M = _kinv_for(p)
+    mean_, var_ = _tp_predict_raw(family, p, M, Xq_, mesh,
+                                  axis_name=axis_name)
+    mean = jnp.minimum(mean_ * p.y_scale + p.y_loc, p.clip_max)
+    std = jnp.sqrt(var_) * p.y_scale
+    finite = svm_decision(p.svm, Xq_)
+    in_trust = jnp.all((Xq_raw >= p.trust_lo) & (Xq_raw <= p.trust_hi),
+                       axis=-1)
+    ok = finite & in_trust
+    mean = jnp.where(ok, mean, jnp.asarray(-jnp.inf, mean.dtype))
+    std = jnp.where(ok, std, 0.0)
+    return mean, std
+
+
+# ---------------------------------------------------------------------------
 # Production entry points (used by models.gp / acquisition when a mesh is up)
 # ---------------------------------------------------------------------------
 
@@ -198,6 +285,13 @@ def predict_maybe_sharded(family, p, Xq, min_rows=256, axis_name="data",
     mesh = available_mesh(Xq)
     nq = Xq.shape[0]
     if nq < min_rows:
+        # starved-DP regime: too few query rows to shard.  With a mesh and
+        # a large training buffer, split the O(nmax^2 nq) work over the
+        # TRAINING axis instead (TP); otherwise single-device.
+        if (mesh is not None and p.X.shape[0] >= TP_NMAX_MIN
+                and p.X.shape[0] % mesh.shape[axis_name] == 0):
+            SHARD_STATS["tp"] += 1
+            return tp_predict(family, p, Xq, mesh, axis_name=axis_name)
         return surrogate_predict(family, p, Xq)
     pad = (-nq) % row_bucket
     Xp = Xq

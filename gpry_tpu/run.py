@@ -63,6 +63,7 @@ class Runner:
         self.fiducial_MC = None
         self.has_converged = False
         self.current_iteration = 0
+        self.mean, self.cov = None, None
 
         # -- checkpoint resume -------------------------------------------------
         resuming = False
@@ -96,6 +97,8 @@ class Runner:
             if runtime:
                 self.current_iteration = int(
                     runtime.get("current_iteration", 0))
+                self.has_converged = bool(
+                    runtime.get("has_converged", False))
                 rng_state = runtime.get("rng_state")
                 if rng_state is not None and seed is None:
                     self.rng.bit_generator.state = rng_state
@@ -413,7 +416,15 @@ class Runner:
             self.do_initial_training()
             self._save_checkpoint()
         self.resamples = 0
-        self.has_converged = False
+        resumed_converged = self._resumed and self.has_converged
+        if resumed_converged:
+            # Resumed a run that had already converged (e.g. the process
+            # crashed during/after the final MC): skip the loop, re-run
+            # only the missing MC below.
+            self.log("Resumed an already-converged run; skipping the "
+                     "acquisition loop.", _VERBOSITY_INFO)
+        else:
+            self.has_converged = False
         while (self.n_total_left > 0 and self.n_finite_left > 0
                and not self.has_converged):
             self.current_iteration += 1
@@ -484,6 +495,10 @@ class Runner:
 
             # [MC+DIAGNOSIS] on declared convergence
             if self.has_converged:
+                # persist the converged state BEFORE the (crash-prone on
+                # shared TPU tunnels) MC step, so a crash-resume skips
+                # straight to re-running the MC instead of re-acquiring
+                self._save_checkpoint()
                 self.log("[MC+DIAGNOSIS] convergence declared; running MC "
                          "and diagnosis...", _VERBOSITY_INFO)
                 self.generate_mc_sample()
@@ -501,6 +516,17 @@ class Runner:
                     self.log(f"Progress plotting failed: {excpt}",
                              _VERBOSITY_WARN)
 
+        if self.has_converged and self.last_mc_result is None:
+            # converged on resume (or the crash ate the MC): finish the job
+            self.log("[MC+DIAGNOSIS] running final MC on the resumed "
+                     "converged surrogate...", _VERBOSITY_INFO)
+            self.update_mean_cov()
+            self.generate_mc_sample()
+            if not self.diagnose_last_mc_sample():
+                self.log("Diagnosis failed on resume: convergence vetoed.",
+                         _VERBOSITY_WARN)
+                self.has_converged = False
+            self._save_checkpoint()
         if not self.has_converged:
             self.log("Budget exhausted (or stopped) without convergence; "
                      "running final MC anyway.", _VERBOSITY_WARN)
@@ -740,6 +766,7 @@ class Runner:
             options = dict(self.options)
             options["_runtime"] = {
                 "current_iteration": int(self.current_iteration),
+                "has_converged": bool(self.has_converged),
                 "rng_state": self.rng.bit_generator.state,
             }
             gio.save_checkpoint(
@@ -790,3 +817,69 @@ class Runner:
             raise ValueError("No MC sample generated yet.")
         return gplots.plot_distance_distribution(
             self.gpr, self.last_mc_result, save=output)
+
+
+# ---------------------------------------------------------------------------
+# Crash-resilient driver (shared-TPU worker restarts)
+# ---------------------------------------------------------------------------
+
+#: error-message fragments identifying a retryable accelerator-runtime
+#: failure (TPU worker crash/restart through the tunnel — the d>=16 mode
+#: documented in docs/ROUND2.md; device buffers die with the worker, so
+#: recovery means rebuilding the Runner from the per-iteration checkpoint)
+_RETRYABLE_ERROR_MARKERS = (
+    "UNAVAILABLE", "worker process crashed", "worker process restarted",
+    "DEADLINE_EXCEEDED", "socket closed", "connection reset",
+    "failed to connect", "Unable to initialize backend",
+)
+
+
+def is_retryable_device_error(excpt):
+    """Whether an exception looks like a transient accelerator-runtime
+    failure (rather than a bug in user code or this library)."""
+    msg = f"{type(excpt).__name__}: {excpt}"
+    return any(m.lower() in msg.lower() for m in _RETRYABLE_ERROR_MARKERS)
+
+
+def run_resilient(loglike=None, checkpoint=None, max_retries=3,
+                  retry_wait_s=90, verbose=3, **runner_kwargs):
+    """
+    Build and run a Runner, retrying through transient accelerator-runtime
+    crashes (e.g. TPU-tunnel worker restarts) by re-materializing ALL
+    device state from the per-iteration checkpoint and resuming.
+
+    ``checkpoint`` is required (it is the recovery mechanism).  The first
+    attempt honors ``runner_kwargs['load_checkpoint']`` (default
+    "overwrite"); every retry resumes.  Non-retryable exceptions propagate
+    immediately.  Returns the finished Runner.
+    """
+    import gc
+    import time
+
+    if checkpoint is None:
+        raise ValueError("run_resilient requires a checkpoint path "
+                         "(it is the crash-recovery mechanism).")
+    runner_kwargs.setdefault("load_checkpoint", "overwrite")
+    attempt = 0
+    while True:
+        try:
+            runner = Runner(loglike, checkpoint=checkpoint,
+                            verbose=verbose, **runner_kwargs)
+            runner.run()
+            return runner
+        except Exception as excpt:
+            if not is_retryable_device_error(excpt) \
+                    or attempt >= max_retries:
+                raise
+            attempt += 1
+            print(f"[RESILIENT] accelerator-runtime failure "
+                  f"({type(excpt).__name__}); retry {attempt}/"
+                  f"{max_retries} in {retry_wait_s}s: {excpt}")
+            # drop every live device buffer before the backend restarts
+            try:
+                del runner
+            except NameError:
+                pass
+            gc.collect()
+            time.sleep(retry_wait_s)
+            runner_kwargs["load_checkpoint"] = "resume"

@@ -431,3 +431,36 @@ def test_runner_mpi_executor_end_to_end(monkeypatch):
     assert root_evals["n"] + worker_n == runner.gpr.n_total
     # the loop end released the workers
     assert comm.cmds[-1][0] == "stop"
+
+
+def test_tp_predict_matches_surrogate_predict(mesh8, params):
+    """TP (training-axis) gated prediction must reproduce the single-device
+    surrogate_predict results (same gates, K^-1 quadratic form for std)."""
+    from gpry_tpu.parallel.mesh import tp_predict
+
+    rng = np.random.default_rng(4)
+    Xq = jnp.asarray(rng.uniform(size=(16, 4)), params.X.dtype)
+    mean_tp, std_tp = tp_predict("rbf", params, Xq, mesh8)
+    mean, std = surrogate_predict("rbf", params, Xq)
+    np.testing.assert_allclose(np.asarray(mean_tp), np.asarray(mean),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(std_tp), np.asarray(std),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_predict_maybe_sharded_routes_tp(mesh8, params, monkeypatch):
+    """Small query batches + large training buffers route through the TP
+    path (SHARD_STATS['tp'] increments) with identical results."""
+    from gpry_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod, "TP_NMAX_MIN", 64)  # fixture nmax = 64
+    rng = np.random.default_rng(5)
+    Xq = jnp.asarray(rng.uniform(size=(8, 4)), params.X.dtype)
+    tp0 = mesh_mod.SHARD_STATS["tp"]
+    mean, std = mesh_mod.predict_maybe_sharded("rbf", params, Xq)
+    assert mesh_mod.SHARD_STATS["tp"] == tp0 + 1
+    mean_1, std_1 = surrogate_predict("rbf", params, Xq)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_1),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(std), np.asarray(std_1),
+                               rtol=1e-6, atol=1e-9)

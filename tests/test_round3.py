@@ -279,3 +279,85 @@ def test_truth_cobaya_checkpoint_roundtrip(tmp_path):
 
 class _DummyGPR:
     pass
+
+
+# ---------------------------------------------------------------------------
+# Crash-resilient driver (docs/ROUND2.md d>=16 TPU-worker-crash mode)
+# ---------------------------------------------------------------------------
+
+
+def test_run_resilient_recovers_from_worker_crash(tmp_path, monkeypatch):
+    """A retryable accelerator-runtime failure mid-loop is recovered by
+    rebuilding the Runner from the per-iteration checkpoint."""
+    from gpry_tpu import run as run_mod
+
+    m = random_gaussian(d=2, rng=13)
+    calls = {"n": 0}
+    orig = run_mod.Runner._fit_gpr
+
+    def crashing_fit(self, X, y):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError(
+                "UNAVAILABLE: TPU worker process crashed or restarted")
+        return orig(self, X, y)
+
+    monkeypatch.setattr(run_mod.Runner, "_fit_gpr", crashing_fit)
+    runner = run_mod.run_resilient(
+        m.loglike, bounds=m.bounds, seed=13, verbose=1,
+        checkpoint=str(tmp_path / "ck"), retry_wait_s=0)
+    assert calls["n"] > 2                      # crashed and kept going
+    assert runner.has_converged
+    assert runner.last_mc_result is not None
+
+
+def test_run_resilient_mc_crash_skips_reacquisition(tmp_path, monkeypatch):
+    """A crash during the final MC resumes with has_converged restored:
+    the loop is skipped and only the MC is re-run (no extra truth
+    evaluations)."""
+    from gpry_tpu import run as run_mod
+
+    m = random_gaussian(d=2, rng=14)
+    calls = {"mc": 0}
+    state = {}
+    orig_mc = run_mod.Runner.generate_mc_sample
+
+    def crashing_mc(self, *a, **k):
+        calls["mc"] += 1
+        if calls["mc"] == 1:
+            state["n_total_at_crash"] = self.gpr.n_total
+            raise RuntimeError("UNAVAILABLE: worker restarted")
+        return orig_mc(self, *a, **k)
+
+    monkeypatch.setattr(run_mod.Runner, "generate_mc_sample", crashing_mc)
+    runner = run_mod.run_resilient(
+        m.loglike, bounds=m.bounds, seed=14, verbose=1,
+        checkpoint=str(tmp_path / "ck2"), retry_wait_s=0)
+    assert calls["mc"] == 2
+    assert runner.has_converged
+    assert runner.last_mc_result is not None
+    # the resume skipped the acquisition loop entirely
+    assert runner.gpr.n_total == state["n_total_at_crash"]
+
+
+def test_run_resilient_nonretryable_raises(tmp_path, monkeypatch):
+    """User-code bugs propagate immediately (no retry)."""
+    from gpry_tpu import run as run_mod
+
+    def broken_loglike(x):
+        raise ValueError("user bug")
+
+    with pytest.raises(ValueError, match="user bug"):
+        run_mod.run_resilient(
+            broken_loglike, bounds=np.array([[-1.0, 1.0]] * 2), seed=1,
+            verbose=1, checkpoint=str(tmp_path / "ck3"), retry_wait_s=0)
+
+
+def test_is_retryable_device_error():
+    from gpry_tpu.run import is_retryable_device_error
+
+    assert is_retryable_device_error(
+        RuntimeError("UNAVAILABLE: TPU worker process crashed"))
+    assert is_retryable_device_error(
+        RuntimeError("DEADLINE_EXCEEDED while fetching"))
+    assert not is_retryable_device_error(ValueError("bad input"))
