@@ -58,10 +58,17 @@ def bench_ours(n_iters=9, engine="nora"):
                              acq_func={"LogExp": {"dimension": D}},
                              random_state=1, verbose=1)
 
-    # warmup: compile everything once (cached afterwards)
+    # warmup: compile everything once (in-process cache afterwards).  With
+    # the persistent XLA cache (config.py) populated by an earlier
+    # process, this "cold" time approaches the warm time — reported as
+    # value_cold_iter0.
+    t0 = time.perf_counter()
     gpr.fit_gpr_hyperparameters(n_restarts=N_RESTARTS)
     acq._iter_since_mc = None
     acq.multi_add(gpr, n_points=N_BATCH)
+    cold = time.perf_counter() - t0
+    print(f"# {engine} iter0 (cold incl. compiles): {cold:.2f}s",
+          file=sys.stderr)
 
     times = []
     for i in range(n_iters):
@@ -79,7 +86,7 @@ def bench_ours(n_iters=9, engine="nora"):
     # identical runs.  For deterministic work the minimum is the standard
     # noise-free estimator (cf. timeit); the full distribution is printed
     # to stderr above, and the median is reported alongside.
-    return float(np.min(times)), float(np.median(times))
+    return float(np.min(times)), float(np.median(times)), float(cold)
 
 
 def bench_reference():
@@ -114,18 +121,24 @@ def bench_reference():
     acq = BatchOptimizer(
         bounds, acq_func={"LogExp": {"dimension": D, "zeta_scaling": 0.85}},
         verbose=1)
-    t0 = time.perf_counter()
-    gpr.fit_gpr_hyperparameters(n_restarts=N_RESTARTS)
-    acq.multi_add(gpr, n_points=N_BATCH, rng=np.random.default_rng(1))
-    return time.perf_counter() - t0
+    # min-of-3, same noise-free estimator as our own timings
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        gpr.fit_gpr_hyperparameters(n_restarts=N_RESTARTS)
+        acq.multi_add(gpr, n_points=N_BATCH,
+                      rng=np.random.default_rng(1 + i))
+        times.append(time.perf_counter() - t0)
+        print(f"# reference iter {i}: {times[-1]:.2f}s", file=sys.stderr)
+    return float(np.min(times))
 
 
 def main():
-    ours, ours_med = bench_ours(engine="nora")
+    ours, ours_med, ours_cold = bench_ours(engine="nora")
     # apples-to-apples companion: the reference baseline below runs
     # BatchOptimizer (its NORA needs PolyChord/UltraNest, absent here), so
     # also measure OUR BatchOptimizer for a same-engine ratio.
-    ours_bo, ours_bo_med = bench_ours(engine="batchoptimizer")
+    ours_bo, ours_bo_med, _ = bench_ours(engine="batchoptimizer")
     try:
         ref = bench_reference()
     except Exception:
@@ -139,6 +152,7 @@ def main():
         "unit": "s",
         "vs_baseline": round(ref / ours, 2),
         "value_median": round(ours_med, 4),
+        "value_cold_iter0": round(ours_cold, 4),
         "value_batchoptimizer": round(ours_bo, 4),
         "vs_baseline_same_engine": round(ref / ours_bo, 2),
         "baseline_reference_batchoptimizer_cpu_s": round(ref, 2),

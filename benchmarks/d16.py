@@ -1,20 +1,26 @@
 """
-d=16 benchmark on the REAL TPU, through the crash-resilient driver.
+d=16 benchmark on the REAL TPU, crash- AND hang-resilient.
 
 The reference's applicability envelope is d <~ 20 (reference
 README.rst:60-64).  Round-2 d=16 runs died 3/3 on shared-TPU-tunnel worker
-restarts (docs/ROUND2.md); this driver runs them through
-``gpry_tpu.run.run_resilient`` (checkpoint-reload-retry re-materializes
-all device buffers after a worker crash) and commits evals-to-stop + final
-KL vs the analytic truth.
+restarts (docs/ROUND2.md).  Two failure modes are covered:
+
+* **Crashes** (the runtime raises): handled in-process by
+  ``gpry_tpu.run.run_resilient`` (checkpoint-reload-retry re-materializes
+  all device buffers).
+* **Hangs** (a tunnel outage leaves an RPC blocked forever — observed
+  live: the process sits at ~0% CPU and never raises): handled here by
+  running each attempt in a SUBPROCESS with a hard timeout; on timeout
+  the child is killed and the next attempt resumes from the
+  per-iteration checkpoint.
 
 Usage: python benchmarks/d16.py [--d 16] [--seeds 100,101,102]
-Writes benchmarks/results_d{d}.json (merging runs as they finish, so a
-driver-level crash loses at most the in-flight run).
+Writes benchmarks/results_d{d}.json (merged run by run).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -24,34 +30,76 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent / "tests"))
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+RESULT_MARK = "D16-RESULT: "
 
-def run_one(d, seed, ckpt_root, verbose=2):
+
+def child_run(d, seed, ckpt, resume, verbose=2):
+    """One resilient attempt; prints the result row as a marked JSON line."""
     from model_generator import kl_truth_gaussian, random_gaussian
 
     from gpry_tpu.run import run_resilient
 
     m = random_gaussian(d=d, rng=seed)
-    ckpt = os.path.join(ckpt_root, f"d{d}_s{seed}")
-    retries = {"n": 0}
-
     t0 = time.time()
     runner = run_resilient(
         m.loglike, bounds=m.bounds, seed=seed, verbose=verbose,
-        checkpoint=ckpt, max_retries=6, retry_wait_s=90,
+        checkpoint=ckpt, max_retries=4, retry_wait_s=90,
+        load_checkpoint="resume" if resume else "overwrite",
         gp_acquisition={"NORA": {}})
-    wall = time.time() - t0
     X, w, _ = runner.last_mc_samples()
-    kl = float(kl_truth_gaussian(X, w, m.mean, m.cov))
-    return {
+    row = {
         "d": d,
         "seed": seed,
         "converged": bool(runner.has_converged),
         "n_total": int(runner.gpr.n_total),
         "n_finite": int(runner.gpr.n),
-        "kl_final": kl,
-        "wall_s": round(wall, 1),
-        "retries": retries["n"],
+        "kl_final": float(kl_truth_gaussian(X, w, m.mean, m.cov)),
+        "wall_s_attempt": round(time.time() - t0, 1),
     }
+    print(RESULT_MARK + json.dumps(row), flush=True)
+
+
+def drive_one(d, seed, ckpt_root, attempt_timeout_s=2700, max_attempts=5,
+              verbose=2):
+    """Run one (d, seed) in child subprocesses until a result or attempts
+    are exhausted.  Timeouts kill the child; the next attempt resumes."""
+    ckpt = os.path.join(ckpt_root, f"d{d}_s{seed}")
+    t0 = time.time()
+    attempts = 0
+    for attempt in range(max_attempts):
+        attempts += 1
+        resume = attempt > 0 and os.path.isdir(ckpt)
+        cmd = [sys.executable, "-u", os.path.abspath(__file__),
+               "--child", "--d", str(d), "--seeds", str(seed),
+               "--ckpt-root", ckpt_root, "--verbose", str(verbose)]
+        if resume:
+            cmd.append("--resume")
+        print(f"[D16] d={d} seed={seed} attempt {attempt + 1}"
+              f"/{max_attempts} (resume={resume})", flush=True)
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=attempt_timeout_s)
+        except subprocess.TimeoutExpired as texc:
+            print(f"[D16] attempt hung past {attempt_timeout_s}s; killed. "
+                  "Tunnel may be restarting; waiting 120s.", flush=True)
+            tail = (texc.stdout or "")[-2000:] if texc.stdout else ""
+            print(tail, flush=True)
+            time.sleep(120)
+            continue
+        sys.stdout.write(proc.stdout[-4000:])
+        sys.stderr.write(proc.stderr[-2000:])
+        for line in proc.stdout.splitlines():
+            if line.startswith(RESULT_MARK):
+                row = json.loads(line[len(RESULT_MARK):])
+                row["wall_s"] = round(time.time() - t0, 1)
+                row["attempts"] = attempts
+                return row
+        print(f"[D16] attempt exited rc={proc.returncode} without a "
+              "result; retrying.", flush=True)
+        time.sleep(60)
+    return {"d": d, "seed": seed, "attempts": attempts,
+            "error": f"no result after {max_attempts} attempts",
+            "wall_s": round(time.time() - t0, 1)}
 
 
 if __name__ == "__main__":
@@ -62,26 +110,32 @@ if __name__ == "__main__":
     ap.add_argument("--seeds", default="100,101,102")
     ap.add_argument("--verbose", type=int, default=2)
     ap.add_argument("--ckpt-root", default="/tmp/gpry_tpu_d16")
+    ap.add_argument("--attempt-timeout", type=int, default=2700)
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
     seeds = tuple(int(x) for x in args.seeds.split(","))
 
+    if args.child:
+        ckpt = os.path.join(args.ckpt_root, f"d{args.d}_s{seeds[0]}")
+        child_run(args.d, seeds[0], ckpt, args.resume,
+                  verbose=args.verbose)
+        sys.exit(0)
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            f"results_d{args.d}.json")
+                            f"results_d{args.d}_tpu.json")
     rows = []
     for seed in seeds:
-        print(f"=== d={args.d} seed={seed} ===", flush=True)
-        try:
-            row = run_one(args.d, seed, args.ckpt_root,
-                          verbose=args.verbose)
-        except Exception as excpt:
-            row = {"d": args.d, "seed": seed,
-                   "error": f"{type(excpt).__name__}: {excpt}"}
+        row = drive_one(args.d, seed, args.ckpt_root,
+                        attempt_timeout_s=args.attempt_timeout,
+                        verbose=args.verbose)
         rows.append(row)
         print(json.dumps(row), flush=True)
         ok = [r for r in rows if "error" not in r]
         summary = {
             "d": args.d,
-            "engine": "gpry_tpu(NORA) via run_resilient, real TPU",
+            "engine": "gpry_tpu(NORA) via run_resilient + hang-timeout "
+                      "subprocess driver, real TPU",
             "evals_to_stop": [r["n_total"] for r in ok],
             "kl_final": [r["kl_final"] for r in ok],
             "n_converged": int(sum(r.get("converged", False)

@@ -24,4 +24,7 @@ def __getattr__(name):
     if name == "CobayaWrapper":
         from gpry_tpu.cobaya import CobayaWrapper
         return CobayaWrapper
+    if name == "run_resilient":
+        from gpry_tpu.run import run_resilient
+        return run_resilient
     raise AttributeError(f"module 'gpry_tpu' has no attribute '{name}'")

@@ -108,6 +108,12 @@ def _enable_comp_cache(cache_dir):
     if not os.path.exists(stamp):
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         env.pop("GPRY_TPU_COMP_CACHE", None)
+        # strip sitecustomize paths that pre-import jax pinned to an
+        # accelerator plugin (e.g. /root/.axon_site): the canary must be
+        # executable even while the accelerator tunnel is down
+        pyp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+               if p and "axon" not in p]
+        env["PYTHONPATH"] = os.pathsep.join(pyp)
         try:
             proc = subprocess.run(
                 [_sys.executable, "-c", _CANARY_SRC, cache_dir],
@@ -127,26 +133,49 @@ def _enable_comp_cache(cache_dir):
             f.write("ok\n")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    if not _inprocess_canary_ok():
-        _warnings.warn(
-            f"XLA persistent cache at {cache_dir} served a numerically "
-            "wrong canary executable; wiping and disabling it.")
-        jax.config.update("jax_compilation_cache_dir", None)
-        shutil.rmtree(cache_dir, ignore_errors=True)
-        return False
     return True
 
 
 COMP_CACHE_ACTIVE = False
+_COMP_CACHE_DIR = None
+_COMP_CACHE_VERIFIED = None
 if os.environ.get("GPRY_TPU_COMP_CACHE", "1") not in ("0", "false",
                                                       "False"):
-    _cache_dir = os.environ.get(
+    _COMP_CACHE_DIR = os.environ.get(
         "GPRY_TPU_COMP_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "gpry_tpu_xla"))
     try:
-        COMP_CACHE_ACTIVE = _enable_comp_cache(_cache_dir)
+        COMP_CACHE_ACTIVE = _enable_comp_cache(_COMP_CACHE_DIR)
     except Exception:  # cache is best-effort
         COMP_CACHE_ACTIVE = False
+
+
+def ensure_comp_cache_verified():
+    """
+    Lazy in-process canary: executes a tiny jitted CPU function under the
+    live cache and compares to numpy, catching wrong-numbers corruption
+    that appeared after stamping.  Deliberately NOT run at import — it
+    would force jax backend initialization (including flaky accelerator
+    tunnels) on `import gpry_tpu`; instead the first compute surface
+    (GaussianProcessRegressor construction) calls this, where backend
+    init is happening anyway.  Disables + wipes the cache on failure.
+    """
+    global COMP_CACHE_ACTIVE, _COMP_CACHE_VERIFIED
+    if _COMP_CACHE_VERIFIED is not None or not COMP_CACHE_ACTIVE:
+        return COMP_CACHE_ACTIVE
+    import shutil
+    import warnings as _warnings
+    if _inprocess_canary_ok():
+        _COMP_CACHE_VERIFIED = True
+        return True
+    _warnings.warn(
+        f"XLA persistent cache at {_COMP_CACHE_DIR} served a numerically "
+        "wrong canary executable; wiping and disabling it.")
+    jax.config.update("jax_compilation_cache_dir", None)
+    shutil.rmtree(_COMP_CACHE_DIR, ignore_errors=True)
+    COMP_CACHE_ACTIVE = False
+    _COMP_CACHE_VERIFIED = False
+    return False
 
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 

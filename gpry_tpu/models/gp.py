@@ -229,6 +229,9 @@ class GaussianProcessRegressor:
         if bounds is None:
             raise ValueError("'bounds' are required (auto-built kernels and "
                              "the infinities threshold depend on them).")
+        # first compute surface: validate the persistent compile cache
+        # (lazy canary — config.py) before any result depends on it
+        config.ensure_comp_cache_verified()
         self.bounds = check_and_return_bounds(bounds)
         self.verbose = verbose
         if np.iterable(noise_level):
