@@ -10,12 +10,13 @@ restarts (docs/ROUND2.md).  Two failure modes are covered:
   all device buffers).
 * **Hangs** (a tunnel outage leaves an RPC blocked forever — observed
   live: the process sits at ~0% CPU and never raises): handled here by
-  running each attempt in a SUBPROCESS with a hard timeout; on timeout
-  the child is killed and the next attempt resumes from the
-  per-iteration checkpoint.
+  running each attempt in a SUBPROCESS watched via the per-iteration
+  CHECKPOINT mtime — a healthy run may take hours, a hung one stops
+  writing checkpoints; a stale child is killed and the next attempt
+  resumes from the checkpoint.
 
 Usage: python benchmarks/d16.py [--d 16] [--seeds 100,101,102]
-Writes benchmarks/results_d{d}.json (merged run by run).
+Writes benchmarks/results_d{d}_tpu.json (merged run by run).
 """
 
 import json
@@ -59,10 +60,21 @@ def child_run(d, seed, ckpt, resume, verbose=2):
     print(RESULT_MARK + json.dumps(row), flush=True)
 
 
-def drive_one(d, seed, ckpt_root, attempt_timeout_s=2700, max_attempts=5,
+def _ckpt_mtime(ckpt):
+    try:
+        return max(os.path.getmtime(os.path.join(ckpt, f))
+                   for f in os.listdir(ckpt))
+    except (OSError, ValueError):
+        return 0.0
+
+
+def drive_one(d, seed, ckpt_root, hang_grace_s=900, max_attempts=5,
               verbose=2):
     """Run one (d, seed) in child subprocesses until a result or attempts
-    are exhausted.  Timeouts kill the child; the next attempt resumes."""
+    are exhausted.  Liveness is the per-iteration CHECKPOINT mtime, not a
+    wall cap — a healthy run can take hours; a hung one (blocked tunnel
+    RPC) stops writing checkpoints.  A child whose checkpoint has not
+    advanced in ``hang_grace_s`` is killed and the next attempt resumes."""
     ckpt = os.path.join(ckpt_root, f"d{d}_s{seed}")
     t0 = time.time()
     attempts = 0
@@ -76,19 +88,31 @@ def drive_one(d, seed, ckpt_root, attempt_timeout_s=2700, max_attempts=5,
             cmd.append("--resume")
         print(f"[D16] d={d} seed={seed} attempt {attempt + 1}"
               f"/{max_attempts} (resume={resume})", flush=True)
-        try:
-            proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=attempt_timeout_s)
-        except subprocess.TimeoutExpired as texc:
-            print(f"[D16] attempt hung past {attempt_timeout_s}s; killed. "
-                  "Tunnel may be restarting; waiting 120s.", flush=True)
-            tail = (texc.stdout or "")[-2000:] if texc.stdout else ""
-            print(tail, flush=True)
+        out_path_child = f"/tmp/d16_child_d{d}_s{seed}.out"
+        with open(out_path_child, "w") as out_f:
+            proc = subprocess.Popen(cmd, stdout=out_f,
+                                    stderr=subprocess.STDOUT, text=True)
+            start = time.time()
+            hung = False
+            while proc.poll() is None:
+                time.sleep(60)
+                alive_ref = max(_ckpt_mtime(ckpt), start)
+                if time.time() - alive_ref > hang_grace_s:
+                    print(f"[D16] no checkpoint progress for "
+                          f"{hang_grace_s}s; killing the child (tunnel "
+                          "hang). Waiting 120s before resuming.",
+                          flush=True)
+                    proc.kill()
+                    proc.wait()
+                    hung = True
+                    break
+        with open(out_path_child) as f:
+            out = f.read()
+        sys.stdout.write(out[-4000:])
+        if hung:
             time.sleep(120)
             continue
-        sys.stdout.write(proc.stdout[-4000:])
-        sys.stderr.write(proc.stderr[-2000:])
-        for line in proc.stdout.splitlines():
+        for line in out.splitlines():
             if line.startswith(RESULT_MARK):
                 row = json.loads(line[len(RESULT_MARK):])
                 row["wall_s"] = round(time.time() - t0, 1)
@@ -110,7 +134,7 @@ if __name__ == "__main__":
     ap.add_argument("--seeds", default="100,101,102")
     ap.add_argument("--verbose", type=int, default=2)
     ap.add_argument("--ckpt-root", default="/tmp/gpry_tpu_d16")
-    ap.add_argument("--attempt-timeout", type=int, default=2700)
+    ap.add_argument("--hang-grace", type=int, default=900)
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -127,7 +151,7 @@ if __name__ == "__main__":
     rows = []
     for seed in seeds:
         row = drive_one(args.d, seed, args.ckpt_root,
-                        attempt_timeout_s=args.attempt_timeout,
+                        hang_grace_s=args.hang_grace,
                         verbose=args.verbose)
         rows.append(row)
         print(json.dumps(row), flush=True)
