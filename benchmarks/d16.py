@@ -80,7 +80,11 @@ def drive_one(d, seed, ckpt_root, hang_grace_s=900, max_attempts=5,
     attempts = 0
     for attempt in range(max_attempts):
         attempts += 1
-        resume = attempt > 0 and os.path.isdir(ckpt)
+        # resume whenever a complete checkpoint exists (also across driver
+        # restarts), never wiping prior progress
+        resume = all(os.path.exists(os.path.join(ckpt, f)) for f in
+                     ("tru.pkl", "gpr.pkl", "acq.pkl", "con.pkl",
+                      "opt.pkl", "pro.pkl"))
         cmd = [sys.executable, "-u", os.path.abspath(__file__),
                "--child", "--d", str(d), "--seeds", str(seed),
                "--ckpt-root", ckpt_root, "--verbose", str(verbose)]
