@@ -464,3 +464,26 @@ def test_predict_maybe_sharded_routes_tp(mesh8, params, monkeypatch):
                                rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(std), np.asarray(std_1),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_tp_predict_applies_gates(mesh8, params):
+    """TP path must apply the same trust-region/clip gates as
+    surrogate_predict (SVM/trust/clip run in the replicated pass)."""
+    from gpry_tpu.parallel.mesh import tp_predict
+
+    p = params._replace(
+        trust_lo=jnp.full(4, 0.2, params.X.dtype),
+        trust_hi=jnp.full(4, 0.8, params.X.dtype),
+        clip_max=jnp.asarray(0.5, params.X.dtype))
+    rng = np.random.default_rng(6)
+    Xq = jnp.asarray(rng.uniform(size=(12, 4)), params.X.dtype)
+    mean_tp, std_tp = tp_predict("rbf", p, Xq, mesh8)
+    mean, std = surrogate_predict("rbf", p, Xq)
+    np.testing.assert_allclose(np.asarray(mean_tp), np.asarray(mean),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(std_tp), np.asarray(std),
+                               rtol=1e-6, atol=1e-9)
+    # the gates really fired: some queries are outside the trust box
+    assert np.any(np.asarray(mean_tp) == -np.inf)
+    assert np.all(np.asarray(mean_tp)[np.isfinite(np.asarray(mean_tp))]
+                  <= 0.5 + 1e-12)
