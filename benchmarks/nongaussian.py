@@ -88,10 +88,13 @@ def run_repo_nora(model, seed, verbose=1):
     }
 
 
-def run_battery(seeds=(100, 101, 102), verbose=1, with_reference=True):
+def run_battery(seeds=(100, 101, 102), verbose=1, with_reference=True,
+                only=None):
     rows = []
     for seed in seeds:
         for model in _fixtures(seed):
+            if only and not any(model.name.startswith(o) for o in only):
+                continue
             print(f"--- {model.name} seed={seed} ...", flush=True)
             Xt, wt = truth_sample(model, seed)
             try:
@@ -174,15 +177,27 @@ if __name__ == "__main__":
     ap.add_argument("--seeds", default="100,101,102")
     ap.add_argument("--verbose", type=int, default=1)
     ap.add_argument("--no-reference", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated fixture-name prefixes")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge rows into an existing results file")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     seeds = tuple(int(x) for x in args.seeds.split(","))
+    only = tuple(args.only.split(",")) if args.only else None
     rows = run_battery(seeds=seeds, verbose=args.verbose,
-                       with_reference=not args.no_reference)
-    out = summarize(rows)
+                       with_reference=not args.no_reference, only=only)
     path = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "results_nongaussian.json")
+    if args.merge and os.path.exists(path):
+        old = json.load(open(path))["rows"]
+        fresh = {(r.get("fixture"), r.get("seed"), r.get("engine"))
+                 for r in rows}
+        rows = [r for r in old
+                if (r.get("fixture"), r.get("seed"),
+                    r.get("engine")) not in fresh] + rows
+    out = summarize(rows)
     with open(path, "w") as f:
         json.dump(out, f, indent=1, default=float)
     print(json.dumps(out["summary"], indent=1))

@@ -235,6 +235,9 @@ def check_candidates(X_train, candidates, tol=1e-8):
     "is duplicate".
     """
     candidates = np.atleast_2d(candidates)
+    if candidates.size == 0:
+        # empty batch (e.g. a starved acquisition): nothing to dedupe
+        return np.zeros(len(candidates), dtype=bool)
     X_train = np.atleast_2d(X_train) if len(np.atleast_1d(X_train)) else None
     dup = np.zeros(len(candidates), dtype=bool)
     scale = np.maximum(np.max(np.abs(candidates), axis=0), 1.0)

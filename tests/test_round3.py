@@ -361,3 +361,29 @@ def test_is_retryable_device_error():
     assert is_retryable_device_error(
         RuntimeError("DEADLINE_EXCEEDED while fetching"))
     assert not is_retryable_device_error(ValueError("bad input"))
+
+
+def test_check_candidates_empty_batch():
+    """Empty candidate batches (starved acquisition) must not crash
+    (regression: spike fixture, d=1)."""
+    from gpry_tpu.utils.tools import check_candidates
+
+    dup = check_candidates(np.zeros((5, 2)), np.empty((0, 2)))
+    assert dup.shape == (0,)
+
+
+def test_runner_flat_target_gives_up_gracefully(rng):
+    """A spike-on-flat-base target (no acquisition signal from the initial
+    points) must give up via the starvation policy and still produce a
+    final MC sample — not crash (the reference raises on this fixture)."""
+    from gpry_tpu.run import Runner
+
+    def loglike(x):
+        x_ = np.atleast_1d(x)[0]
+        return float(np.log(1e-4 + np.exp(-0.5 * (x_ / 0.01) ** 2)))
+
+    runner = Runner(loglike, bounds=np.array([[-1.0, 1.0]]), seed=100,
+                    verbose=1, gp_acquisition={"NORA": {}})
+    runner.run()
+    assert not runner.has_converged
+    assert runner.last_mc_result is not None
