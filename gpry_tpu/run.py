@@ -871,15 +871,18 @@ def run_resilient(loglike=None, checkpoint=None, max_retries=3,
             if not is_retryable_device_error(excpt) \
                     or attempt >= max_retries:
                 raise
+            # exponential backoff: observed tunnel outages last tens of
+            # minutes, far beyond a fixed short retry interval
+            wait = retry_wait_s * (2 ** attempt)
             attempt += 1
             print(f"[RESILIENT] accelerator-runtime failure "
                   f"({type(excpt).__name__}); retry {attempt}/"
-                  f"{max_retries} in {retry_wait_s}s: {excpt}")
+                  f"{max_retries} in {wait}s: {excpt}")
             # drop every live device buffer before the backend restarts
             try:
                 del runner
             except NameError:
                 pass
             gc.collect()
-            time.sleep(retry_wait_s)
+            time.sleep(wait)
             runner_kwargs["load_checkpoint"] = "resume"
