@@ -19,6 +19,7 @@ Prints ONE JSON line:
 """
 
 import json
+import subprocess
 import sys
 import time
 
@@ -29,6 +30,33 @@ N_TRAIN = 224
 N_RESTARTS = 10 + 2 * D
 N_BATCH = D
 REF_FALLBACK_SECONDS = 84.0  # measured 2026-08-16 on this host's CPU
+
+
+def wait_for_device_compute(max_wait_s=1800, probe_timeout_s=90):
+    """Block (bounded) until the accelerator actually executes compute.
+
+    The TPU sits behind a shared tunnel; outages can leave device LISTING
+    healthy while every computation hangs forever (observed live).  Probing
+    in a SUBPROCESS with a hard timeout is the only reliable health check.
+    Without this, a benchmark launched during an outage never returns.
+    """
+    src = ("import jax, jax.numpy as jnp; x = jnp.ones((64, 64)); "
+           "print(float((x @ x).sum()))")
+    t0 = time.time()
+    while True:
+        try:
+            proc = subprocess.run([sys.executable, "-c", src],
+                                  capture_output=True, text=True,
+                                  timeout=probe_timeout_s)
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 >= max_wait_s:
+            return False
+        print("# device compute probe failed; tunnel down. Re-probing "
+              "in 60s.", file=sys.stderr)
+        time.sleep(60)
 
 
 def make_data(seed=0):
@@ -134,6 +162,10 @@ def bench_reference():
 
 
 def main():
+    if not wait_for_device_compute():
+        print("# WARNING: accelerator never came up within the wait "
+              "budget; timings below may reflect a degraded backend.",
+              file=sys.stderr)
     ours, ours_med, ours_cold = bench_ours(engine="nora")
     # apples-to-apples companion: the reference baseline below runs
     # BatchOptimizer (its NORA needs PolyChord/UltraNest, absent here), so
