@@ -19,7 +19,6 @@ Prints ONE JSON line:
 """
 
 import json
-import subprocess
 import sys
 import time
 
@@ -33,30 +32,13 @@ REF_FALLBACK_SECONDS = 84.0  # measured 2026-08-16 on this host's CPU
 
 
 def wait_for_device_compute(max_wait_s=1800, probe_timeout_s=90):
-    """Block (bounded) until the accelerator actually executes compute.
+    """Bounded wait for real accelerator compute (see utils.device_probe).
 
-    The TPU sits behind a shared tunnel; outages can leave device LISTING
-    healthy while every computation hangs forever (observed live).  Probing
-    in a SUBPROCESS with a hard timeout is the only reliable health check.
-    Without this, a benchmark launched during an outage never returns.
+    Without this, a benchmark launched during a tunnel outage never
+    returns.
     """
-    src = ("import jax, jax.numpy as jnp; x = jnp.ones((64, 64)); "
-           "print(float((x @ x).sum()))")
-    t0 = time.time()
-    while True:
-        try:
-            proc = subprocess.run([sys.executable, "-c", src],
-                                  capture_output=True, text=True,
-                                  timeout=probe_timeout_s)
-            if proc.returncode == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        if time.time() - t0 >= max_wait_s:
-            return False
-        print("# device compute probe failed; tunnel down. Re-probing "
-              "in 60s.", file=sys.stderr)
-        time.sleep(60)
+    from gpry_tpu.utils.device_probe import wait_for_device_compute as wait
+    return wait(max_wait_s=max_wait_s, probe_timeout_s=probe_timeout_s)
 
 
 def make_data(seed=0):

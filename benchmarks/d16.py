@@ -68,28 +68,13 @@ def _ckpt_mtime(ckpt):
         return 0.0
 
 
-_PROBE_SRC = ("import jax, jax.numpy as jnp; x = jnp.ones((64, 64)); "
-              "print(float((x @ x).sum()))")
-
-
 def _wait_for_device_compute(max_wait_s=3600, probe_timeout_s=90):
-    """Block until the accelerator actually executes compute (tunnel
-    outages can leave device LISTING healthy while every computation
-    hangs — observed live).  Returns False if max_wait_s elapses."""
-    t0 = time.time()
-    while time.time() - t0 < max_wait_s:
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c", _PROBE_SRC],
-                capture_output=True, text=True, timeout=probe_timeout_s)
-            if proc.returncode == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        print("[D16] device compute probe failed; tunnel down. "
-              "Re-probing in 120s.", flush=True)
-        time.sleep(120)
-    return False
+    """Bounded wait for real accelerator compute (utils.device_probe)."""
+    from gpry_tpu.utils.device_probe import wait_for_device_compute
+    return wait_for_device_compute(
+        max_wait_s=max_wait_s, probe_timeout_s=probe_timeout_s,
+        poll_s=120, log_prefix="[D16]",
+        log=lambda msg: print(msg, flush=True))
 
 
 def drive_one(d, seed, ckpt_root, hang_grace_s=900, max_attempts=5,

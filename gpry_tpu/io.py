@@ -25,6 +25,23 @@ def create_path(path, verbose=True):
     return path
 
 
+def clear_checkpoint(path):
+    """
+    Delete any of the 6 checkpoint files present at ``path``.  Used by
+    ``load_checkpoint="overwrite"``: saves write ``tru.pkl`` only when
+    absent (it never changes during a run), so a stale truth from a
+    previous run at the same path must be removed up front or a later
+    resume would silently reconstruct the wrong likelihood.
+    """
+    if path is None:
+        return
+    for fname in _CHECKPOINT_FILES:
+        try:
+            os.remove(os.path.join(path, fname))
+        except FileNotFoundError:
+            pass
+
+
 def check_checkpoint(path=None):
     """
     Boolean array: which of the 6 checkpoint files exist at ``path``

@@ -1052,8 +1052,8 @@ class GaussianProcessRegressor:
             if X.ndim != 2 or X.shape[1] != self.d:
                 raise ValueError(
                     f"X must be (n, {self.d}); got shape {X.shape}.")
-            if np.isnan(X).any():
-                raise ValueError("X contains NaN.")
+            if not np.isfinite(X).all():
+                raise ValueError("X contains NaN or inf.")
         self.n_eval += len(X)
         if self._dL is None or self.n == 0:
             # Not fit: prior mean zero / prior std (reference:

@@ -94,7 +94,16 @@ class TruthExecutor:
             if cmd is None or cmd[0] == "stop":
                 break
             X = np.atleast_2d(cmd[1])
-            comm.gather(self._eval_slice(X, mpi.RANK, mpi.SIZE), root=0)
+            # An exception must still reach the gather or rank 0 blocks
+            # forever in its collective (and conversely, this worker must
+            # keep serving so later collectives stay aligned): ship an
+            # error marker instead of raising.
+            try:
+                res = self._eval_slice(X, mpi.RANK, mpi.SIZE)
+            except Exception as excpt:  # noqa: BLE001 — user loglike
+                res = ("__truth_error__",
+                       f"rank {mpi.RANK}: {excpt!r}")
+            comm.gather(res, root=0)
 
     def stop_workers(self):
         """Release serving worker ranks (controller only)."""
@@ -111,8 +120,22 @@ class TruthExecutor:
             if mpi.multiple_processes and mpi.mpi_comm is not None:
                 comm = mpi.mpi_comm
                 comm.bcast(("eval", X), root=0)
-                mine = self._eval_slice(X, mpi.RANK, mpi.SIZE)
+                # Complete the gather even if this rank's slice raises,
+                # or the workers (already past the bcast) deadlock in
+                # THEIR gather; errors travel as markers and re-raise
+                # here once the collective is done.
+                try:
+                    mine = self._eval_slice(X, mpi.RANK, mpi.SIZE)
+                except Exception as excpt:  # noqa: BLE001 — user loglike
+                    mine = ("__truth_error__", f"rank 0: {excpt!r}")
                 gathered = comm.gather(mine, root=0)
+                errors = [g[1] for g in gathered
+                          if isinstance(g, tuple) and len(g) == 2
+                          and g[0] == "__truth_error__"]
+                if errors:
+                    raise RuntimeError(
+                        "truth evaluation failed on: "
+                        + "; ".join(errors))
                 return np.concatenate(
                     [np.asarray(g, dtype=float) for g in gathered])
             # single-process launch: plain serial

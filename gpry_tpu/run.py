@@ -79,6 +79,11 @@ class Runner:
                     raise RuntimeError(
                         f"Incomplete checkpoint at {checkpoint}: found "
                         f"{found}. Delete it or use 'overwrite'.")
+            else:
+                # overwrite: remove stale files now — saves skip tru.pkl
+                # when present, so a leftover truth from a previous run
+                # would otherwise survive and poison a later resume
+                gio.clear_checkpoint(checkpoint)
 
         if resuming:
             self.log("Resuming from checkpoint...", _VERBOSITY_INFO)
@@ -450,7 +455,7 @@ class Runner:
             # sub-minimal batch and force the acquisition to re-sample (NORA
             # runs a fresh NS) on the next pass, up to
             # n_resamples_before_giveup times.
-            if len(new_X) < max(1, self.n_points_per_acq // 2):
+            if len(new_X) < max(1, n_points // 2):
                 self.resamples += 1
                 if self.resamples > self.n_resamples_before_giveup:
                     self.log("Acquisition returning no values after "
@@ -878,7 +883,11 @@ def run_resilient(loglike=None, checkpoint=None, max_retries=3,
             print(f"[RESILIENT] accelerator-runtime failure "
                   f"({type(excpt).__name__}); retry {attempt}/"
                   f"{max_retries} in {wait}s: {excpt}")
-            # drop every live device buffer before the backend restarts
+            # drop every live device buffer before the backend restarts;
+            # the caught exception's traceback frames reference the
+            # Runner (run()'s ``self``), so the name must be released
+            # too or gc frees nothing during the backoff wait
+            excpt = None
             try:
                 del runner
             except NameError:

@@ -382,6 +382,89 @@ def test_mpi_executor_worker_serves(monkeypatch):
     assert comm.gathered == [[12.0, 14.0]]
 
 
+def test_mpi_executor_error_raises_after_gather(monkeypatch):
+    """mode='mpi': an exception in the controller's own slice must still
+    complete the gather collective (or the workers would deadlock in
+    theirs) and then raise on rank 0."""
+    from gpry_tpu import mpi
+    from gpry_tpu.parallel.executor import TruthExecutor
+
+    class _T:
+        def logp(self, x):
+            return -float(np.sum(np.asarray(x) ** 2))
+
+    class _Boom:
+        def logp(self, x):
+            raise RuntimeError("user loglike exploded")
+
+    worker_truths = {r: _T() for r in (1, 2, 3)}
+    comm = _FakeComm4(worker_truths)
+    gathers = []
+    orig_gather = comm.gather
+    comm.gather = lambda v, root=0: (gathers.append(v),
+                                     orig_gather(v, root=root))[1]
+    monkeypatch.setattr(mpi, "multiple_processes", True)
+    monkeypatch.setattr(mpi, "is_main_process", True)
+    monkeypatch.setattr(mpi, "RANK", 0)
+    monkeypatch.setattr(mpi, "SIZE", 4)
+    monkeypatch.setattr(mpi, "mpi_comm", comm)
+
+    ex = TruthExecutor(_Boom(), mode="mpi")
+    X = np.random.default_rng(0).normal(size=(10, 3))
+    with pytest.raises(RuntimeError, match="rank 0.*exploded"):
+        ex.logp_batch(X)
+    # the collective completed: rank 0 contributed an error marker
+    assert len(gathers) == 1
+    assert gathers[0][0] == "__truth_error__"
+
+
+def test_mpi_executor_worker_serves_through_error(monkeypatch):
+    """serve(): a worker whose slice raises ships an error marker through
+    the gather and KEEPS serving (later collectives stay aligned) until
+    the stop command."""
+    from gpry_tpu import mpi
+    from gpry_tpu.parallel.executor import TruthExecutor
+
+    X = np.arange(20, dtype=float).reshape(10, 2)
+
+    class _WorkerComm:
+        def __init__(self):
+            self.commands = [("eval", X), ("eval", X), ("stop",)]
+            self.gathered = []
+
+        def bcast(self, value, root=0):
+            return self.commands.pop(0)
+
+        def gather(self, value, root=0):
+            self.gathered.append(value)
+            return None
+
+    comm = _WorkerComm()
+    monkeypatch.setattr(mpi, "multiple_processes", True)
+    monkeypatch.setattr(mpi, "is_main_process", False)
+    monkeypatch.setattr(mpi, "RANK", 2)
+    monkeypatch.setattr(mpi, "SIZE", 4)
+    monkeypatch.setattr(mpi, "mpi_comm", comm)
+
+    class _FlakyT:
+        def __init__(self):
+            self.calls = 0
+
+        def logp(self, x):
+            self.calls += 1
+            if self.calls == 1:  # first batch's slice fails fast
+                raise ValueError("bad point")
+            return float(x[0])
+
+    ex = TruthExecutor(_FlakyT(), mode="mpi")
+    ex.serve()  # must reach the stop command without raising
+    assert len(comm.gathered) == 2
+    assert comm.gathered[0][0] == "__truth_error__"
+    assert "rank 2" in comm.gathered[0][1]
+    # second batch evaluated normally after the error
+    assert comm.gathered[1] == [12.0, 14.0]
+
+
 def test_runner_mpi_executor_end_to_end(monkeypatch):
     """Runner(truth_executor='mpi') under a (fake) 4-rank world: the loop
     stays single-controller on rank 0 but every truth batch distributes

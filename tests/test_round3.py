@@ -90,6 +90,85 @@ def test_runner_starvation_skips_eval_and_gives_up(rng):
     assert len(truth_calls) == n_truth_after_init
 
 
+def test_runner_tail_batch_not_starved(rng):
+    """A full return of a small TAIL batch (budget < n_points_per_acq)
+    must NOT be classified as starvation: the points are truth-evaluated
+    and no forced resample happens."""
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=13)
+    truth_calls = []
+
+    def loglike(x):
+        truth_calls.append(np.copy(x))
+        return m.loglike(x)
+
+    runner = Runner(loglike, bounds=m.bounds, seed=5, verbose=0,
+                    options={"max_total": 40, "max_initial": 10,
+                             "n_points_per_acq": 4,
+                             "n_resamples_before_giveup": 2},
+                    convergence_criterion="DontConverge")
+
+    force_flags = []
+
+    class _TailAcq:
+        mean = None
+        cov = None
+
+        def multi_add(self, gpr, n_points=1, bounds=None, rng=None,
+                      force_resample=False):
+            force_flags.append(force_resample)
+            # returns ALL requested points (a full batch of DISTINCT rows)
+            return (0.1234 + 0.01 * np.arange(n_points)[:, None]
+                    * np.ones((1, 2)),
+                    np.zeros(n_points), np.zeros(n_points))
+
+    runner.do_initial_training()
+    # shrink the budget so exactly 1 point remains: the loop requests
+    # n_points = min(4, 1) = 1
+    runner.max_total = runner.gpr.n_total + 1
+    n_truth_after_init = len(truth_calls)
+    runner.acquisition = _TailAcq()
+    runner._resumed = True
+    runner._run_main_loop()
+    # the single-point tail batch was requested once, in full, and
+    # evaluated — no starvation retry
+    assert force_flags == [False]
+    assert len(truth_calls) == n_truth_after_init + 1
+
+
+def test_overwrite_removes_stale_checkpoint(tmp_path):
+    """load_checkpoint='overwrite' must clear pre-existing checkpoint
+    files up front: saves skip tru.pkl when present, so a stale truth
+    from a previous run at the same path would otherwise survive and a
+    later resume would silently evaluate the WRONG likelihood."""
+    from gpry_tpu import io as gio
+    from gpry_tpu.run import Runner
+
+    m_a = random_gaussian(d=2, rng=21)
+    m_b = random_gaussian(d=2, rng=22)
+    ckpt = str(tmp_path / "ckpt")
+
+    runner_a = Runner(m_a.loglike, bounds=m_a.bounds, seed=1, verbose=0,
+                      options={"max_total": 12, "max_initial": 10},
+                      convergence_criterion="DontConverge",
+                      checkpoint=ckpt, load_checkpoint="overwrite")
+    runner_a.save_checkpoint()
+    assert os.path.exists(os.path.join(ckpt, "tru.pkl"))
+
+    runner_b = Runner(m_b.loglike, bounds=m_b.bounds, seed=2, verbose=0,
+                      options={"max_total": 12, "max_initial": 10},
+                      convergence_criterion="DontConverge",
+                      checkpoint=ckpt, load_checkpoint="overwrite")
+    # stale files were cleared at construction
+    assert not os.path.exists(os.path.join(ckpt, "tru.pkl"))
+    runner_b.save_checkpoint()
+
+    truth, *_ = gio.read_checkpoint(ckpt)
+    x = np.array([0.3, -0.4])
+    np.testing.assert_allclose(truth.loglike(x), m_b.loglike(x))
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint update_truth (reference: gpry/run.py:742-745)
 # ---------------------------------------------------------------------------
@@ -132,6 +211,9 @@ def test_predict_validate(rng):
         gpr.predict(np.zeros((3, 5)))
     with pytest.raises(ValueError, match="NaN"):
         gpr.predict(np.array([[0.0, np.nan]]))
+    # inf must be rejected too (sklearn validate_data checks all-finite)
+    with pytest.raises(ValueError, match="inf"):
+        gpr.predict(np.array([[np.inf, 0.0]]))
     # validate=False skips the checks (hot path)
     out = gpr.predict(np.zeros((2, 2)), validate=False)
     assert out.shape == (2,)
