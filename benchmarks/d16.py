@@ -78,17 +78,27 @@ def _wait_for_device_compute(max_wait_s=3600, probe_timeout_s=90):
 
 
 def drive_one(d, seed, ckpt_root, hang_grace_s=900, max_attempts=5,
-              verbose=2):
+              verbose=2, seed_wall_s=None):
     """Run one (d, seed) in child subprocesses until a result or attempts
     are exhausted.  Liveness is the per-iteration CHECKPOINT mtime, not a
     wall cap — a healthy run can take hours; a hung one (blocked tunnel
     RPC) stops writing checkpoints.  A child whose checkpoint has not
-    advanced in ``hang_grace_s`` is killed and the next attempt resumes."""
+    advanced in ``hang_grace_s`` is killed and the next attempt resumes.
+
+    Only WASTED attempts are charged against ``max_attempts``: a child
+    that advanced the checkpoint made real progress, and one that died
+    while the tunnel is down (post-mortem probe fails) was killed by the
+    outage, not the workload.  A flapping tunnel therefore cannot burn
+    the budget; ``seed_wall_s`` (if set) bounds the total wait."""
     ckpt = os.path.join(ckpt_root, f"d{d}_s{seed}")
     t0 = time.time()
     attempts = 0
-    for attempt in range(max_attempts):
+    wasted = 0
+    while wasted < max_attempts and (
+            seed_wall_s is None or time.time() - t0 < seed_wall_s):
+        attempt = attempts
         attempts += 1
+        mt_before = _ckpt_mtime(ckpt)
         # resume whenever a complete checkpoint exists (also across driver
         # restarts), never wiping prior progress
         resume = all(os.path.exists(os.path.join(ckpt, f)) for f in
@@ -101,8 +111,9 @@ def drive_one(d, seed, ckpt_root, hang_grace_s=900, max_attempts=5,
             cmd.append("--resume")
         # do not burn an attempt while the tunnel cannot run compute
         _wait_for_device_compute()
-        print(f"[D16] d={d} seed={seed} attempt {attempt + 1}"
-              f"/{max_attempts} (resume={resume})", flush=True)
+        print(f"[D16] d={d} seed={seed} attempt {attempt + 1} "
+              f"({wasted}/{max_attempts} wasted, resume={resume})",
+              flush=True)
         out_path_child = f"/tmp/d16_child_d{d}_s{seed}.out"
         with open(out_path_child, "w") as out_f:
             proc = subprocess.Popen(cmd, stdout=out_f,
@@ -124,20 +135,32 @@ def drive_one(d, seed, ckpt_root, hang_grace_s=900, max_attempts=5,
         with open(out_path_child) as f:
             out = f.read()
         sys.stdout.write(out[-4000:])
-        if hung:
-            time.sleep(120)
-            continue
-        for line in out.splitlines():
-            if line.startswith(RESULT_MARK):
-                row = json.loads(line[len(RESULT_MARK):])
-                row["wall_s"] = round(time.time() - t0, 1)
-                row["attempts"] = attempts
-                return row
-        print(f"[D16] attempt exited rc={proc.returncode} without a "
-              "result; retrying.", flush=True)
-        time.sleep(60)
+        if not hung:
+            for line in out.splitlines():
+                if line.startswith(RESULT_MARK):
+                    row = json.loads(line[len(RESULT_MARK):])
+                    row["wall_s"] = round(time.time() - t0, 1)
+                    row["attempts"] = attempts
+                    return row
+        # No result: charge the attempt only if it was genuinely wasted —
+        # the checkpoint did not advance AND the tunnel is up right now
+        # (a post-mortem probe succeeds).  Outage-killed or progressing
+        # attempts retry for free.
+        made_progress = _ckpt_mtime(ckpt) > mt_before
+        tunnel_ok = _wait_for_device_compute(max_wait_s=0)
+        if made_progress or not tunnel_ok:
+            print(f"[D16] attempt not charged (progress={made_progress}, "
+                  f"tunnel_ok={tunnel_ok}); retrying. "
+                  f"[{wasted}/{max_attempts} wasted]", flush=True)
+        else:
+            wasted += 1
+            print(f"[D16] attempt exited rc={proc.returncode} without a "
+                  f"result or progress on a healthy tunnel. "
+                  f"[{wasted}/{max_attempts} wasted]", flush=True)
+        time.sleep(120 if hung else 60)
     return {"d": d, "seed": seed, "attempts": attempts,
-            "error": f"no result after {max_attempts} attempts",
+            "error": f"no result after {attempts} attempts "
+                     f"({wasted} wasted)",
             "wall_s": round(time.time() - t0, 1)}
 
 
@@ -150,6 +173,11 @@ if __name__ == "__main__":
     ap.add_argument("--verbose", type=int, default=2)
     ap.add_argument("--ckpt-root", default="/tmp/gpry_tpu_d16")
     ap.add_argument("--hang-grace", type=int, default=900)
+    ap.add_argument("--max-attempts", type=int, default=5,
+                    help="budget of WASTED attempts (no progress on a "
+                         "healthy tunnel); outage retries are free")
+    ap.add_argument("--seed-wall-s", type=float, default=None,
+                    help="optional hard wall-clock bound per seed")
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -167,6 +195,8 @@ if __name__ == "__main__":
     for seed in seeds:
         row = drive_one(args.d, seed, args.ckpt_root,
                         hang_grace_s=args.hang_grace,
+                        max_attempts=args.max_attempts,
+                        seed_wall_s=args.seed_wall_s,
                         verbose=args.verbose)
         rows.append(row)
         print(json.dumps(row), flush=True)
