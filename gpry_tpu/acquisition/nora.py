@@ -49,12 +49,21 @@ class NORA(GenericGPAcquisition):
     def __init__(self, bounds, acq_func="LogExp", mc_every="1d",
                  nlive_per_training=3, nlive_max="25d", num_repeats="5d",
                  precision_criterion_target=0.01, nprior_per_nlive=10,
-                 sampler="device", preprocessing_X=None, zeta_scaling=0.85,
-                 verbose=1, rng=None):
+                 min_ess_reuse="2d", sampler="device", preprocessing_X=None,
+                 zeta_scaling=0.85, verbose=1, rng=None):
         super().__init__(bounds, acq_func=acq_func,
                          preprocessing_X=preprocessing_X,
                          zeta_scaling=zeta_scaling, verbose=verbose)
         self.mc_every = self._parse_dim_spec(mc_every, "mc_every")
+        # Reweighting-collapse guard (beyond the reference, which reuses
+        # blindly, gpry/gp_acquisition.py:875-919): if the effective sample
+        # size of the REWEIGHTED sample drops below this, the surrogate has
+        # moved too far since the last NS run — its moments and ranking are
+        # garbage (observed at d=16: ESS 3 of 5412 after 9 reuses) — so
+        # force a fresh NS run.  NS is cheap on-device, so the guard costs
+        # little and is inert at low d where reuse stays healthy.
+        self.min_ess_reuse = self._parse_dim_spec(min_ess_reuse,
+                                                  "min_ess_reuse")
         self.nlive_per_training = int(nlive_per_training)
         self.nlive_max = self._parse_dim_spec(nlive_max, "nlive_max")
         self.num_repeats = self._parse_dim_spec(num_repeats, "num_repeats")
@@ -214,6 +223,18 @@ class NORA(GenericGPAcquisition):
         self.last_MC_sigma = np.asarray(sd)
         gpr.n_eval += len(mu)
 
+    def _reweight_ess(self):
+        """Kish effective sample size of the current (reweighted) sample."""
+        logw = self.last_MC_logw
+        if logw is None or not np.any(np.isfinite(logw)):
+            return 0.0
+        w = np.exp(logw - np.max(logw[np.isfinite(logw)]))
+        w = np.where(np.isfinite(w), w, 0.0)
+        s = w.sum()
+        if s <= 0:
+            return 0.0
+        return float(s * s / np.sum(w * w))
+
     # ----------------------------------------------------------------- multi_add
 
     def multi_add(self, gpr, n_points=1, bounds=None, rng=None,
@@ -244,6 +265,14 @@ class NORA(GenericGPAcquisition):
             self._proposed = np.empty((0, self.d))
         else:
             self._reweight_last(gpr)
+            if self._reweight_ess() < self.min_ess_reuse:
+                self.log(f"[NORA] reweighted ESS "
+                         f"{self._reweight_ess():.1f} < "
+                         f"{self.min_ess_reuse}: forcing a fresh NS run.",
+                         level=3)
+                self._run_ns(gpr)
+                self._iter_since_mc = 0
+                self._proposed = np.empty((0, self.d))
         self._iter_since_mc += 1
 
         X = self.last_MC_X

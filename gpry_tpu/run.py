@@ -622,11 +622,19 @@ class Runner:
             (any_sufficient if has_sufficient else True)
         return bool(converged_total), value
 
-    def update_mean_cov(self):
+    def update_mean_cov(self, use_mc_sample=None):
         """
-        Pull the current mean/cov estimate from the acquisition engine or
-        convergence criteria (reference: gpry/run.py:1335-1352).
+        Pull the current mean/cov estimate, preferring an explicit MC sample
+        if given, then the acquisition engine, then convergence criteria
+        (reference: gpry/run.py:1335-1352).
         """
+        if use_mc_sample is not None:
+            try:
+                self.mean, self.cov = mean_covmat_from_samples(
+                    use_mc_sample["X"], use_mc_sample["weights"])
+                return
+            except Exception:
+                pass
         self.mean, self.cov = None, None
         acq_mean = getattr(self.acquisition, "mean", None)
         if acq_mean is not None:
@@ -658,6 +666,9 @@ class Runner:
             self.gpr, bounds=self.truth.prior_bounds, sampler=sampler,
             rng=rng or self.rng, options=options, verbose=self.verbose)
         self.last_mc_result = result
+        # the MC sample is the best moment estimate from here on
+        # (reference: gpry/run.py:1713 update_mean_cov(use_mc_sample=...))
+        self.update_mean_cov(use_mc_sample=result)
         out_path = output
         if out_path is None and self.checkpoint is not None:
             out_path = os.path.join(self.checkpoint, "chains",
@@ -717,16 +728,22 @@ class Runner:
         except Exception as excpt:
             self.log(f"[DIAGNOSIS] alignment check failed: {excpt}",
                      _VERBOSITY_WARN)
-        if ok and self.mean is not None and self.cov is not None:
+        # KL(mc || acq) < d against the acquisition's OWN last sample
+        # (reference: gpry/run.py:1775-1784 — skipped for engines without
+        # one, e.g. BatchOptimizer; a failed moment computation leaves the
+        # training test as the verdict).
+        if ok and hasattr(self.acquisition, "last_MC_sample"):
             try:
-                kl = kl_norm(self.mean, self.cov, mean_mc, cov_mc)
+                X_a, _, w_a = self.acquisition.last_MC_sample()
+                mean_acq, cov_acq = mean_covmat_from_samples(X_a, w_a)
+                kl = kl_norm(mean_mc, cov_mc, mean_acq, cov_acq)
+            except Exception:
+                pass
+            else:
                 if not (kl < self.d):
-                    self.log(f"[DIAGNOSIS] KL(acq||mc)={kl:.3g} >= d",
+                    self.log(f"[DIAGNOSIS] KL(mc||acq)={kl:.3g} >= d",
                              _VERBOSITY_WARN)
                     ok = False
-            except Exception as excpt:
-                self.log(f"[DIAGNOSIS] KL check failed: {excpt}",
-                         _VERBOSITY_WARN)
         return ok
 
     # ------------------------------------------------------------- fiducials

@@ -48,6 +48,68 @@ def test_nora_force_resample_reruns_ns(rng):
     assert len(calls) == 2
 
 
+def test_nora_ess_collapse_forces_fresh_ns(rng):
+    """If importance-reweighting collapses the reused sample's effective
+    sample size below ``min_ess_reuse``, NORA must force a fresh NS run
+    (guard beyond the reference, which reuses blindly and feeds garbage
+    moments into the MC diagnosis at d>=16)."""
+    from gpry_tpu.acquisition.nora import NORA
+    from gpry_tpu.models.gp import GaussianProcessRegressor
+
+    d = 2
+    bounds = np.array([[-1.0, 1.0]] * d)
+    gpr = GaussianProcessRegressor(bounds=bounds, random_state=rng)
+    X = rng.uniform(-1, 1, size=(12, d))
+    y = -np.sum(X**2, axis=1)
+    gpr.append_to_data(X, y, fit_gpr={"n_restarts": 2})
+
+    nora = NORA(bounds, mc_every=10, rng=rng, verbose=0)
+    calls = []
+    orig = nora._run_ns
+    nora._run_ns = lambda gpr: (calls.append(1), orig(gpr))[1]
+
+    nora.multi_add(gpr, n_points=2)
+    assert len(calls) == 1
+    # collapse the stored weights onto a single point: the reweighted ESS
+    # is ~1 < min_ess_reuse = 2d = 4, so reuse must be abandoned
+    nora.last_MC_logw = np.full_like(nora.last_MC_logw, -1e4)
+    nora.last_MC_logw[0] = 0.0
+    nora.multi_add(gpr, n_points=2)
+    assert len(calls) == 2
+    assert nora._reweight_ess() > nora.min_ess_reuse
+
+
+def test_diagnosis_uses_acquisition_sample_and_mc_direction(rng):
+    """The diagnosis KL must be KL(mc||acq) against the acquisition's OWN
+    last sample (reference: gpry/run.py:1775-1784), and must be skipped
+    for engines without one."""
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=17)
+    runner = Runner(m.loglike, bounds=m.bounds, seed=3, verbose=0,
+                    options={"max_total": 40, "max_initial": 20})
+    runner.do_initial_training()
+    runner.generate_mc_sample(sampler="mcmc",
+                              add_options={"n_steps": 200, "n_chains": 8})
+
+    class _AcqWithSample:
+        def last_MC_sample(self):
+            # a sample wildly different from the MC one -> KL >= d
+            X = rng.normal(50.0, 0.01, size=(100, 2))
+            return X, np.zeros(100), np.ones(100)
+
+    class _AcqNoSample:
+        pass
+
+    runner.acquisition = _AcqWithSample()
+    assert runner.diagnose_last_mc_sample() is False
+    # engines without a sample (e.g. BatchOptimizer) skip the KL test;
+    # the verdict is the training-alignment test alone
+    runner.acquisition = _AcqNoSample()
+    align_only = runner.diagnose_last_mc_sample()
+    assert isinstance(align_only, bool)
+
+
 def test_runner_starvation_skips_eval_and_gives_up(rng):
     """A starved acquisition must not evaluate the truth on the sub-minimal
     batch, must re-try with force_resample, and must give up after
