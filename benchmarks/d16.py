@@ -42,8 +42,11 @@ def child_run(d, seed, ckpt, resume, verbose=2):
 
     m = random_gaussian(d=d, rng=seed)
     t0 = time.time()
+    # on a resuming attempt, omit seed so the Runner continues the
+    # CHECKPOINTED rng stream instead of replaying it from the start
     runner = run_resilient(
-        m.loglike, bounds=m.bounds, seed=seed, verbose=verbose,
+        m.loglike, bounds=m.bounds, verbose=verbose,
+        seed=None if resume else seed,
         checkpoint=ckpt, max_retries=4, retry_wait_s=90,
         load_checkpoint="resume" if resume else "overwrite",
         gp_acquisition={"NORA": {}})
@@ -101,9 +104,8 @@ def drive_one(d, seed, ckpt_root, hang_grace_s=900, max_attempts=5,
         mt_before = _ckpt_mtime(ckpt)
         # resume whenever a complete checkpoint exists (also across driver
         # restarts), never wiping prior progress
-        resume = all(os.path.exists(os.path.join(ckpt, f)) for f in
-                     ("tru.pkl", "gpr.pkl", "acq.pkl", "con.pkl",
-                      "opt.pkl", "pro.pkl"))
+        from gpry_tpu.io import check_checkpoint
+        resume = bool(np.all(check_checkpoint(ckpt)))
         cmd = [sys.executable, "-u", os.path.abspath(__file__),
                "--child", "--d", str(d), "--seeds", str(seed),
                "--ckpt-root", ckpt_root, "--verbose", str(verbose)]

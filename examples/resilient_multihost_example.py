@@ -41,8 +41,16 @@ if __name__ == "__main__":
         gp_acquisition={"NORA": {}},
         seed=0,
     )
-    X, w, logp = runner.last_mc_samples()
-    m = np.average(X, axis=0, weights=w)
-    print("converged:", runner.has_converged,
-          "evals:", runner.gpr.n_total)
-    print("posterior mean:", np.round(m, 3), "(truth:", mean, ")")
+    from gpry_tpu import mpi
+    if mpi.is_main_process:
+        # only rank 0 runs the MC; worker ranks have served truth evals
+        # and re-synced their GPR/has_converged from the checkpoint
+        X, w, logp = runner.last_mc_samples()
+        m = np.average(X, axis=0, weights=w)
+        print("converged:", runner.has_converged,
+              "evals:", runner.gpr.n_total)
+        print("posterior mean:", np.round(m, 3), "(truth:", mean, ")")
+    else:
+        print(f"rank {mpi.RANK}: served truth evaluations; "
+              f"converged={runner.has_converged}, "
+              f"n_total={runner.gpr.n_total}")

@@ -265,9 +265,9 @@ class NORA(GenericGPAcquisition):
             self._proposed = np.empty((0, self.d))
         else:
             self._reweight_last(gpr)
-            if self._reweight_ess() < self.min_ess_reuse:
-                self.log(f"[NORA] reweighted ESS "
-                         f"{self._reweight_ess():.1f} < "
+            ess = self._reweight_ess()
+            if ess < self.min_ess_reuse:
+                self.log(f"[NORA] reweighted ESS {ess:.1f} < "
                          f"{self.min_ess_reuse}: forcing a fresh NS run.",
                          level=3)
                 self._run_ns(gpr)

@@ -84,10 +84,16 @@ def _machine_fingerprint():
 
 
 def _inprocess_canary_ok():
+    """True: numbers verified.  False: numbers WRONG (corrupt cache).
+    None: could not check (e.g. no CPU backend under a pinned
+    JAX_PLATFORMS) — not evidence of corruption, do NOT wipe."""
     import numpy as np
     import jax.numpy as jnp
     try:
         cpu = jax.devices("cpu")[0]
+    except Exception:
+        return None
+    try:
         a = np.arange(64, dtype=np.float32).reshape(8, 8) / 7.0
         ad = jax.device_put(jnp.asarray(a), cpu)
         out = float(np.asarray(
@@ -95,6 +101,7 @@ def _inprocess_canary_ok():
         expect = float((a @ a.T + np.sin(a)).sum())
         return abs(out - expect) < 1e-3 * abs(expect)
     except Exception:
+        # an executable that crashes under the cache IS the failure mode
         return False
 
 
@@ -119,14 +126,28 @@ def _enable_comp_cache(cache_dir):
                 [_sys.executable, "-c", _CANARY_SRC, cache_dir],
                 capture_output=True, text=True, timeout=180, env=env)
             ok = proc.returncode == 0 and "CANARY-OK" in proc.stdout
+            # only treat it as CORRUPTION (-> wipe) when the canary
+            # actually ran against the cache and died on it: a signal
+            # (SIGILL from a mismatched-machine-features executable) or a
+            # failed numeric assert.  Any other failure (import error on
+            # this host, timeout under load) is an environment problem:
+            # disable for this run but keep the cache for healthy hosts.
+            corrupt = not ok and (proc.returncode < 0
+                                  or "AssertionError" in proc.stderr)
         except Exception:
-            ok = False
+            ok, corrupt = False, False
         if not ok:
-            _warnings.warn(
-                f"XLA persistent cache at {cache_dir} failed the integrity "
-                "canary (possible mismatched-machine-features executables); "
-                "wiping and disabling it for this run.")
-            shutil.rmtree(cache_dir, ignore_errors=True)
+            if corrupt:
+                _warnings.warn(
+                    f"XLA persistent cache at {cache_dir} failed the "
+                    "integrity canary (mismatched-machine-features "
+                    "executables); wiping and disabling it for this run.")
+                shutil.rmtree(cache_dir, ignore_errors=True)
+            else:
+                _warnings.warn(
+                    f"XLA persistent cache canary could not run at "
+                    f"{cache_dir}; disabling the cache for this run "
+                    "(cache kept).")
             return False
         os.makedirs(cache_dir, exist_ok=True)
         with open(stamp, "w") as f:
@@ -165,9 +186,15 @@ def ensure_comp_cache_verified():
         return COMP_CACHE_ACTIVE
     import shutil
     import warnings as _warnings
-    if _inprocess_canary_ok():
+    verdict = _inprocess_canary_ok()
+    if verdict:
         _COMP_CACHE_VERIFIED = True
         return True
+    if verdict is None:
+        # could not check (no CPU backend here): keep the cache — absence
+        # of evidence is not corruption; stay unverified so a later call
+        # can still validate
+        return COMP_CACHE_ACTIVE
     _warnings.warn(
         f"XLA persistent cache at {_COMP_CACHE_DIR} served a numerically "
         "wrong canary executable; wiping and disabling it.")

@@ -345,7 +345,14 @@ class TrainAlignment(GaussianKL):
                 gp.X_train[-nfrac:], gp.y_train[-nfrac:])[0]
             diff = mean_new - mean_train
             chi2 = float(diff @ np.linalg.inv(cov_new) @ diff)
-            eps = max(credibility_of_nstd(np.sqrt(chi2), self.d), 1e-3)
+            if not np.isfinite(chi2) or chi2 < -1e-6:
+                # a degenerate/indefinite sample covariance (e.g. from a
+                # collapsed reweighted sample) makes the quadratic form
+                # meaningless: fail the CHECK, don't propagate NaN
+                raise ValueError(
+                    f"indefinite sample covariance (chi2={chi2})")
+            eps = max(credibility_of_nstd(np.sqrt(max(chi2, 0.0)),
+                                          self.d), 1e-3)
         except Exception as excpt:
             self._record(gp, np.nan)
             raise ConvergenceCheckError(

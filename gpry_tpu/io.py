@@ -59,6 +59,9 @@ def _device_to_host(obj):
     state = getattr(obj, "__dict__", None)
     if state is None:
         return obj
+    # per-factorization memo of cast device pytrees: rebuilt on demand,
+    # never checkpointed (models/gp.py:sweep_params)
+    state.pop("_sweep_cast_cache", None)
     for k, v in state.items():
         if isinstance(v, jax.Array):
             state[k] = ("__jax_array__", np.asarray(v))

@@ -976,10 +976,26 @@ class GaussianProcessRegressor:
         return self._dtype
 
     def sweep_params(self) -> "SurrogateParams":
-        """Surrogate snapshot in the sweep dtype (see ``sweep_dtype``)."""
+        """Surrogate snapshot in the sweep dtype (see ``sweep_dtype``).
+
+        The cast pytree is memoized per factorization: repeated sweeps in
+        the same iteration reuse ONE set of device buffers (stable
+        ``p.L`` identity also keeps the TP path's K^-1 cache warm,
+        parallel/mesh.py:_kinv_for) instead of re-casting per call."""
         p = self.surrogate_params()
         dt = self.sweep_dtype()
-        return cast_surrogate(p, dt) if dt != p.X.dtype else p
+        if dt == p.X.dtype:
+            return p
+        cached = getattr(self, "_sweep_cast_cache", None)
+        if cached is not None:
+            (L0, a0, X0, dt0), pc0 = cached
+            if (L0 is self._dL and a0 is self._dalpha
+                    and X0 is self._dX and dt0 == str(dt)):
+                return pc0
+        pc = cast_surrogate(p, dt)
+        self._sweep_cast_cache = ((self._dL, self._dalpha, self._dX,
+                                   str(dt)), pc)
+        return pc
 
     def surrogate_params(self, nsv_max=None) -> SurrogateParams:
         """Snapshot the full prediction state as a jit-friendly pytree."""
@@ -1117,6 +1133,8 @@ class GaussianProcessRegressor:
         cls = self.__class__
         new = cls.__new__(cls)
         for k, v in self.__dict__.items():
+            if k == "_sweep_cast_cache":
+                continue  # per-factorization memo; rebuilt on demand
             if isinstance(v, jax.Array):
                 new.__dict__[k] = v  # immutable: share
             else:

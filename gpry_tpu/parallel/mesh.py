@@ -197,18 +197,36 @@ def device_put_sharded_rows(X, mesh, axis_name="data"):
 # makes its padded block the identity; masked k_q rows keep it inert) and
 # cached against the L buffer identity.
 
-_KINV_CACHE = []  # [(L_ref, M)], newest last, bounded
-_KINV_CACHE_MAX = 4
+_KINV_CACHE = []  # [(weakref-to-L, M)], newest last, bounded
+_KINV_CACHE_MAX = 2
 
 
 def _kinv_for(p):
+    """K^-1 for the factorization ``p.L``, cached by L-buffer identity.
+
+    Entries hold only a WEAK reference to L, so an O(nmax^2) M buffer dies
+    with its factorization instead of pinning HBM after the GPR is torn
+    down.  Callers get stable L identity across calls because the GPR
+    memoizes its cast sweep pytree per factorization
+    (models/gp.py:sweep_params)."""
+    import weakref
+
     from jax.scipy.linalg import cho_solve
-    for L_ref, M in _KINV_CACHE:
-        if L_ref is p.L:
-            return M
+    M_found = None
+    alive = []
+    for ref, M in _KINV_CACHE:
+        L = ref()
+        if L is None:
+            continue
+        alive.append((ref, M))
+        if L is p.L:
+            M_found = M
+    _KINV_CACHE[:] = alive
+    if M_found is not None:
+        return M_found
     nmax = p.L.shape[0]
     M = cho_solve((p.L, True), jnp.eye(nmax, dtype=p.L.dtype))
-    _KINV_CACHE.append((p.L, M))
+    _KINV_CACHE.append((weakref.ref(p.L), M))
     del _KINV_CACHE[:-_KINV_CACHE_MAX]
     return M
 

@@ -59,6 +59,7 @@ class Runner:
         self.plots = plots
         self._mc_options = self._construct_mc_options(mc)
         self.last_mc_result = None
+        self._mc_at_n_total = -1
         self.fiducial_point = None
         self.fiducial_MC = None
         self.has_converged = False
@@ -406,11 +407,30 @@ class Runner:
                 (self.truth, self.gpr, self.acquisition,
                  self.convergence_criterion, self.options,
                  self.progress) = gio.read_checkpoint(self.checkpoint)
-                self.options.pop("_runtime", None)
+                runtime = self.options.pop("_runtime", None)
+                if runtime:
+                    # mirror rank 0's final loop state so user code can
+                    # read has_converged etc. on any rank
+                    self.current_iteration = int(
+                        runtime.get("current_iteration", 0))
+                    self.has_converged = bool(
+                        runtime.get("has_converged", False))
             return self
         try:
             self._run_main_loop()
-        finally:
+        except Exception as excpt:
+            # On a RETRYABLE accelerator failure, leave worker ranks
+            # serving: run_resilient will rebuild a Runner on this rank
+            # and its next truth broadcast must find them still in
+            # serve() (stopping them here would deadlock the retry's
+            # first collective).  Workers are released by the eventual
+            # clean finish, or torn down with the job if rank 0 gives up.
+            if mpi.multiple_processes \
+                    and not is_retryable_device_error(excpt):
+                self.executor.stop_workers()
+                mpi.sync_processes()
+            raise
+        else:
             if mpi.multiple_processes:
                 self.executor.stop_workers()
                 mpi.sync_processes()
@@ -421,13 +441,21 @@ class Runner:
             self.do_initial_training()
             self._save_checkpoint()
         self.resamples = 0
-        resumed_converged = self._resumed and self.has_converged
-        if resumed_converged:
+        if self._resumed and self.has_converged:
             # Resumed a run that had already converged (e.g. the process
-            # crashed during/after the final MC): skip the loop, re-run
-            # only the missing MC below.
-            self.log("Resumed an already-converged run; skipping the "
-                     "acquisition loop.", _VERBOSITY_INFO)
+            # crashed during/after the final MC): re-run the missing MC +
+            # diagnosis FIRST.  A passing diagnosis skips the loop; a veto
+            # re-enters the acquisition loop below exactly as in an
+            # uninterrupted run (same veto, same continuation).
+            self.log("Resumed an already-converged run; re-running the "
+                     "final MC and diagnosis.", _VERBOSITY_INFO)
+            self.update_mean_cov()
+            self.generate_mc_sample()
+            if not self.diagnose_last_mc_sample():
+                self.log("Diagnosis failed on resume: convergence vetoed.",
+                         _VERBOSITY_WARN)
+                self.has_converged = False
+            self._save_checkpoint()
         else:
             self.has_converged = False
         while (self.n_total_left > 0 and self.n_finite_left > 0
@@ -521,21 +549,13 @@ class Runner:
                     self.log(f"Progress plotting failed: {excpt}",
                              _VERBOSITY_WARN)
 
-        if self.has_converged and self.last_mc_result is None:
-            # converged on resume (or the crash ate the MC): finish the job
-            self.log("[MC+DIAGNOSIS] running final MC on the resumed "
-                     "converged surrogate...", _VERBOSITY_INFO)
-            self.update_mean_cov()
-            self.generate_mc_sample()
-            if not self.diagnose_last_mc_sample():
-                self.log("Diagnosis failed on resume: convergence vetoed.",
-                         _VERBOSITY_WARN)
-                self.has_converged = False
-            self._save_checkpoint()
         if not self.has_converged:
             self.log("Budget exhausted (or stopped) without convergence; "
                      "running final MC anyway.", _VERBOSITY_WARN)
-            if self.last_mc_result is None:
+            # an MC from an earlier (vetoed) convergence is stale if the
+            # surrogate has grown since: re-sample the CURRENT surrogate
+            if (self.last_mc_result is None
+                    or self._mc_at_n_total != self.gpr.n_total):
                 try:
                     self.generate_mc_sample()
                     self.diagnose_last_mc_sample()
@@ -666,6 +686,7 @@ class Runner:
             self.gpr, bounds=self.truth.prior_bounds, sampler=sampler,
             rng=rng or self.rng, options=options, verbose=self.verbose)
         self.last_mc_result = result
+        self._mc_at_n_total = self.gpr.n_total
         # the MC sample is the best moment estimate from here on
         # (reference: gpry/run.py:1713 update_mean_cov(use_mc_sample=...))
         self.update_mean_cov(use_mc_sample=result)
@@ -737,8 +758,9 @@ class Runner:
                 X_a, _, w_a = self.acquisition.last_MC_sample()
                 mean_acq, cov_acq = mean_covmat_from_samples(X_a, w_a)
                 kl = kl_norm(mean_mc, cov_mc, mean_acq, cov_acq)
-            except Exception:
-                pass
+            except Exception as excpt:
+                self.log(f"[DIAGNOSIS] KL check skipped: {excpt}",
+                         _VERBOSITY_WARN)
             else:
                 if not (kl < self.d):
                     self.log(f"[DIAGNOSIS] KL(mc||acq)={kl:.3g} >= d",
@@ -912,3 +934,7 @@ def run_resilient(loglike=None, checkpoint=None, max_retries=3,
             gc.collect()
             time.sleep(wait)
             runner_kwargs["load_checkpoint"] = "resume"
+            # a retry must CONTINUE the checkpointed RNG stream, not
+            # replay it from the seed (Runner honors the checkpointed
+            # rng_state only when seed is None)
+            runner_kwargs.pop("seed", None)
