@@ -347,3 +347,6 @@ class NORA(GenericGPAcquisition):
         self.__dict__.update(state)
         if self.rng is None:
             self.rng = np.random.default_rng()
+        # checkpoints written before the reweighting-collapse guard
+        if "min_ess_reuse" not in state:
+            self.min_ess_reuse = self._parse_dim_spec("2d", "min_ess_reuse")

@@ -110,6 +110,38 @@ def test_diagnosis_uses_acquisition_sample_and_mc_direction(rng):
     assert isinstance(align_only, bool)
 
 
+def test_budget_exhaustion_resamples_stale_vetoed_mc(rng):
+    """If every declared convergence is vetoed and the budget then runs
+    out, the final MC must be re-drawn from the CURRENT surrogate — not
+    the stale sample left by an earlier vetoed convergence."""
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=19)
+    runner = Runner(m.loglike, bounds=m.bounds, seed=7, verbose=0,
+                    options={"max_total": 14, "max_initial": 12,
+                             "n_points_per_acq": 2},
+                    convergence_criterion="CorrectCounter")
+    # every convergence gets vetoed
+    runner.diagnose_last_mc_sample = lambda: False
+    mc_at = []
+    orig_mc = runner.generate_mc_sample
+
+    def traced_mc(*args, **kwargs):
+        out = orig_mc(*args, **kwargs)
+        mc_at.append(int(runner.gpr.n_total))
+        return out
+
+    runner.generate_mc_sample = traced_mc
+    # make convergence trivially reachable so the veto path actually runs
+    for cc in runner.convergence_criterion:
+        cc.ncorrect = -1  # n_pred > -1 always: converge every iteration
+    runner.run()
+    assert not runner.has_converged
+    # the last MC was drawn at the FINAL n_total (fresh surrogate)
+    assert mc_at[-1] == runner.gpr.n_total
+    assert runner._mc_at_n_total == runner.gpr.n_total
+
+
 def test_runner_starvation_skips_eval_and_gives_up(rng):
     """A starved acquisition must not evaluate the truth on the sub-minimal
     batch, must re-try with force_resample, and must give up after
