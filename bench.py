@@ -99,6 +99,26 @@ def bench_ours(n_iters=9, engine="nora"):
     return float(np.min(times)), float(np.median(times)), float(cold)
 
 
+def bench_ours_resilient(engine="nora", attempts=3):
+    """Retry the whole timed block through TPU-worker crashes (the shared
+    tunnel restarts its worker every so often; one bench attempt is ~2 min
+    warm, so re-running beats dying without the JSON line)."""
+    from gpry_tpu.run import is_retryable_device_error
+    for attempt in range(attempts):
+        try:
+            return bench_ours(engine=engine)
+        except Exception as excpt:
+            if not is_retryable_device_error(excpt) \
+                    or attempt == attempts - 1:
+                raise
+            print(f"# {engine}: accelerator crash "
+                  f"({type(excpt).__name__}); waiting for recovery, then "
+                  f"restarting the timed block "
+                  f"(attempt {attempt + 2}/{attempts})", file=sys.stderr)
+            time.sleep(60)
+            wait_for_device_compute()
+
+
 def bench_reference():
     """Measure the reference live (CPU); None if unavailable."""
     import types
@@ -148,11 +168,11 @@ def main():
         print("# WARNING: accelerator never came up within the wait "
               "budget; timings below may reflect a degraded backend.",
               file=sys.stderr)
-    ours, ours_med, ours_cold = bench_ours(engine="nora")
+    ours, ours_med, ours_cold = bench_ours_resilient(engine="nora")
     # apples-to-apples companion: the reference baseline below runs
     # BatchOptimizer (its NORA needs PolyChord/UltraNest, absent here), so
     # also measure OUR BatchOptimizer for a same-engine ratio.
-    ours_bo, ours_bo_med, _ = bench_ours(engine="batchoptimizer")
+    ours_bo, ours_bo_med, _ = bench_ours_resilient(engine="batchoptimizer")
     try:
         ref = bench_reference()
     except Exception:
