@@ -121,62 +121,34 @@ def _slice_chain(logl_fn, params, key, x0, logl0, lstar, chol, num_repeats,
     return x, lx, calls
 
 
-@partial(jax.jit,
-         static_argnames=("logl_fn", "nlive", "num_repeats", "max_dead",
-                          "kill_batch", "mesh", "n_prior"))
-def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
-                      num_repeats=10, precision_criterion=0.01,
-                      max_dead=5000, kill_batch=None, mesh=None,
-                      n_prior=None):
+def _volume_consts(nlive, n_prior, max_dead):
     """
-    Run nested sampling on device.  ``logl_fn(params, X)`` is a jittable
-    ``(nq, d) -> (nq,)`` log-density (e.g. the gated surrogate mean); it must
-    be a *module-level function* (stable identity, so jit caches across
-    calls) with all changing state in the traced ``params`` pytree.
-    Uniform prior on the box [lo, hi].
-
-    ``n_prior`` (default ``nlive``): size of the initial prior sample, the
-    analogue of PolyChord's ``nprior`` (reference default ``10 * nlive``,
-    gpry/gp_acquisition.py:633).  The worst ``n_prior - nlive`` prior draws
-    are recorded as dead points with exact shrinking-live-count volume
-    bookkeeping, so a larger prior phase improves tail coverage without
-    biasing the evidence.
-
-    With ``mesh`` (a 1-D device mesh whose size divides the kill batch), the
-    per-step batch of slice-sampling chains is DP-sharded over the mesh —
-    the TPU analogue of PolyChord parallelizing its live-point evolution
-    over MPI ranks (gpry/ns_interfaces.py:199-207).  Chains are independent
-    lock-step lanes, so sharded and unsharded runs produce identical
-    samples.
+    Exact volume bookkeeping with a shrinking live count through the
+    prior phase: dead point j was killed at live count n_at_kill(j), so
+    X_prev(j) = exp(-sum_{i<j} 1/n_at_kill(i)) and its shell is
+    X_prev (1 - exp(-1/n_at_kill)).  All static (numpy) arrays.
     """
     import numpy as np
-
-    d = lo.shape[0]
-    dtype = lo.dtype
-    if kill_batch is None:
-        kill_batch = max(1, nlive // 6)
-    B = int(kill_batch)
-    if n_prior is None or n_prior < nlive:
-        n_prior = nlive
-    n_prior = int(n_prior)
-    k0_dead = n_prior - nlive          # prior-phase dead points (static)
+    k0_dead = n_prior - nlive
     max_dead_tot = k0_dead + max_dead
-
-    # Exact volume bookkeeping with a shrinking live count through the
-    # prior phase: dead point j was killed at live count n_at_kill(j), so
-    # X_prev(j) = exp(-sum_{i<j} 1/n_at_kill(i)) and its shell is
-    # X_prev (1 - exp(-1/n_at_kill)).  All static arrays.
     idx_np = np.arange(max_dead_tot)
     n_at_kill = np.where(idx_np < k0_dead, n_prior - idx_np,
                          float(nlive)).astype(np.float64)
     inv_n = 1.0 / n_at_kill
     logx_prev_np = -(np.cumsum(inv_n) - inv_n)         # exclusive cumsum
     log_shell_np = np.log(-np.expm1(-inv_n))
-    logx_prev = jnp.asarray(logx_prev_np, dtype)
-    log_shell = jnp.asarray(log_shell_np, dtype)
-    H0 = float(inv_n[:k0_dead].sum())   # volume consumed by the prior phase
+    H0 = float(inv_n[:k0_dead].sum())  # volume consumed by the prior phase
+    return logx_prev_np, log_shell_np, H0
 
-    # ---- prior phase: n_prior draws, worst k0_dead recorded dead ----------
+
+@partial(jax.jit, static_argnames=("logl_fn", "nlive", "n_prior",
+                                   "max_dead"))
+def _ns_init(logl_fn, params, key, lo, hi, *, nlive, n_prior, max_dead):
+    """Prior phase: n_prior draws, worst ``n_prior - nlive`` recorded dead."""
+    d = lo.shape[0]
+    dtype = lo.dtype
+    k0_dead = n_prior - nlive
+    max_dead_tot = k0_dead + max_dead
     k0_key, key = jax.random.split(key)
     pool_X = jax.random.uniform(k0_key, (n_prior, d), dtype) \
         * (hi - lo) + lo
@@ -190,6 +162,33 @@ def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
     if k0_dead:
         dead_X = dead_X.at[:k0_dead].set(pool_X[order0[:k0_dead]])
         dead_logl = dead_logl.at[:k0_dead].set(pool_logl[order0[:k0_dead]])
+    return (key, live_X, live_logl, dead_X, dead_logl,
+            jnp.asarray(k0_dead, jnp.int32),
+            jnp.asarray(n_prior, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("logl_fn", "nlive", "num_repeats",
+                                   "max_dead", "kill_batch", "mesh",
+                                   "n_prior", "seg_steps"))
+def _ns_segment(logl_fn, params, state, lo, hi, precision_criterion, *,
+                nlive, num_repeats, max_dead, kill_batch, mesh, n_prior,
+                seg_steps):
+    """
+    Advance NS by at most ``seg_steps`` outer iterations (or until the
+    termination criterion).  Returns ``(state, done)`` with ``done`` a
+    device bool: segmenting bounds the runtime of any single XLA program,
+    so minutes-long NS runs (e.g. the final MC at d>=16, nlive=50d) cannot
+    trip accelerator-runtime watchdogs; numerics are identical to an
+    unsegmented run because the loop is simply re-entered where it left.
+    """
+    d = lo.shape[0]
+    dtype = lo.dtype
+    B = kill_batch
+    k0_dead = n_prior - nlive
+    max_dead_tot = k0_dead + max_dead
+    logx_prev_np, log_shell_np, H0 = _volume_consts(nlive, n_prior, max_dead)
+    logx_prev = jnp.asarray(logx_prev_np, dtype)
+    log_shell = jnp.asarray(log_shell_np, dtype)
 
     def logz_dead(dead_logl, k):
         idx = jnp.arange(max_dead_tot)
@@ -266,17 +265,33 @@ def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
         return (key, live_X, live_logl, dead_X, dead_logl, k + B,
                 calls + jnp.sum(cs).astype(calls.dtype))
 
-    state = (key, live_X, live_logl, dead_X, dead_logl,
-             jnp.asarray(k0_dead, jnp.int32),
-             jnp.asarray(n_prior, jnp.int32))
-    key, live_X, live_logl, dead_X, dead_logl, k, calls = \
-        jax.lax.while_loop(outer_cond, outer_body, state)
+    def seg_cond(carry):
+        st, s = carry
+        return outer_cond(st) & (s < seg_steps)
 
-    # Assemble weighted samples: dead points + final live points.
+    def seg_body(carry):
+        st, s = carry
+        return outer_body(st), s + 1
+
+    state, _ = jax.lax.while_loop(
+        seg_cond, seg_body, (state, jnp.asarray(0, jnp.int32)))
+    return state, ~outer_cond(state)
+
+
+@partial(jax.jit, static_argnames=("nlive", "n_prior", "max_dead"))
+def _ns_finalize(state, *, nlive, n_prior, max_dead):
+    """Assemble weighted samples: dead points + final live points."""
+    key, live_X, live_logl, dead_X, dead_logl, k, calls = state
+    dtype = live_X.dtype
+    k0_dead = n_prior - nlive
+    max_dead_tot = k0_dead + max_dead
+    logx_prev_np, log_shell_np, H0 = _volume_consts(nlive, n_prior, max_dead)
+    logx_prev = jnp.asarray(logx_prev_np, dtype)
+    log_shell = jnp.asarray(log_shell_np, dtype)
     idx = jnp.arange(max_dead_tot)
     dead_logw = jnp.where(
         idx < k, dead_logl + logx_prev + log_shell, -jnp.inf)
-    logx_final = logx_at(k)
+    logx_final = -(H0 + (k.astype(dtype) - k0_dead) / nlive)
     live_logw = live_logl + logx_final - jnp.log(float(nlive))
     X_all = jnp.concatenate([dead_X, live_X], axis=0)
     logl_all = jnp.concatenate([dead_logl, live_logl])
@@ -284,3 +299,66 @@ def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
     logZ = logsumexp(logw_all)
     return NSResult(X=X_all, logl=logl_all, logw=logw_all, n_dead=k,
                     logZ=logZ, n_calls=calls)
+
+
+def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
+                      num_repeats=10, precision_criterion=0.01,
+                      max_dead=5000, kill_batch=None, mesh=None,
+                      n_prior=None, max_steps_per_call=None):
+    """
+    Run nested sampling on device.  ``logl_fn(params, X)`` is a jittable
+    ``(nq, d) -> (nq,)`` log-density (e.g. the gated surrogate mean); it must
+    be a *module-level function* (stable identity, so jit caches across
+    calls) with all changing state in the traced ``params`` pytree.
+    Uniform prior on the box [lo, hi].
+
+    ``n_prior`` (default ``nlive``): size of the initial prior sample, the
+    analogue of PolyChord's ``nprior`` (reference default ``10 * nlive``,
+    gpry/gp_acquisition.py:633).  The worst ``n_prior - nlive`` prior draws
+    are recorded as dead points with exact shrinking-live-count volume
+    bookkeeping, so a larger prior phase improves tail coverage without
+    biasing the evidence.
+
+    With ``mesh`` (a 1-D device mesh whose size divides the kill batch), the
+    per-step batch of slice-sampling chains is DP-sharded over the mesh —
+    the TPU analogue of PolyChord parallelizing its live-point evolution
+    over MPI ranks (gpry/ns_interfaces.py:199-207).  Chains are independent
+    lock-step lanes, so sharded and unsharded runs produce identical
+    samples.
+
+    ``max_steps_per_call`` (default: ``GPRY_TPU_NS_SEG_STEPS`` env var, else
+    32) caps the outer NS iterations executed per device program.  The run
+    is host-driven over bounded jitted segments with all state resident on
+    device, so only a scalar ``done`` flag crosses per segment.  This exists
+    because a single multi-minute XLA program can be killed by accelerator
+    runtime/tunnel watchdogs (observed live on d=16 final-MC runs: "TPU
+    worker process crashed or restarted"); pass ``0``/``None``-like large
+    values to restore single-program behavior.
+    """
+    import os
+
+    nlive = int(nlive)
+    if kill_batch is None:
+        kill_batch = max(1, nlive // 6)
+    B = int(kill_batch)
+    if n_prior is None or n_prior < nlive:
+        n_prior = nlive
+    n_prior = int(n_prior)
+    max_dead = int(max_dead)
+    total_steps = max_dead // B + 2       # has_room bound; cond re-checks
+    if max_steps_per_call is None:
+        max_steps_per_call = int(os.environ.get("GPRY_TPU_NS_SEG_STEPS", 32))
+    seg = total_steps if max_steps_per_call <= 0 \
+        else min(total_steps, int(max_steps_per_call))
+
+    state = _ns_init(logl_fn, params, key, lo, hi, nlive=nlive,
+                     n_prior=n_prior, max_dead=max_dead)
+    while True:
+        state, done = _ns_segment(
+            logl_fn, params, state, lo, hi, precision_criterion,
+            nlive=nlive, num_repeats=int(num_repeats), max_dead=max_dead,
+            kill_batch=B, mesh=mesh, n_prior=n_prior, seg_steps=seg)
+        if bool(done):
+            break
+    return _ns_finalize(state, nlive=nlive, n_prior=n_prior,
+                        max_dead=max_dead)

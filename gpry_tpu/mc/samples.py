@@ -120,7 +120,11 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
             nlive=int(nlive), num_repeats=int(num_repeats),
             precision_criterion=float(options.get("precision_criterion",
                                                   0.01)),
-            max_dead=max_dead, mesh=available_mesh(p_ns.X))
+            max_dead=max_dead, mesh=available_mesh(p_ns.X),
+            # final-MC outer steps are heavy (nlive=50d chains x 5d
+            # repeats); keep each device program well under watchdog
+            # territory (observed worker kills on multi-minute programs)
+            max_steps_per_call=int(options.get("ns_steps_per_call", 8)))
         logw = np.asarray(res.logw, dtype=float)
         keep = np.isfinite(logw) & np.isfinite(np.asarray(res.logl))
         X = np.asarray(res.X, dtype=float)[keep]

@@ -53,6 +53,28 @@ def test_ns_respects_box_and_neg_inf():
     assert np.all(X[:, 0] >= 0.3)
 
 
+def test_ns_segmented_identical_to_single_program():
+    """Bounded-segment execution (watchdog protection for long runs) must
+    reproduce the single-program run bit-for-bit: the loop is simply
+    re-entered where it left off."""
+    from gpry_tpu.mc.nested import run_nested_device
+    d = 2
+    lo, hi = jnp.zeros(d), jnp.ones(d)
+    kw = dict(nlive=80, num_repeats=8, max_dead=2000, kill_batch=8)
+    params = (jnp.full(d, 0.35), 0.07)
+    res_one = run_nested_device(_gauss_logl, params, jax.random.PRNGKey(7),
+                                lo, hi, max_steps_per_call=0, **kw)
+    res_seg = run_nested_device(_gauss_logl, params, jax.random.PRNGKey(7),
+                                lo, hi, max_steps_per_call=3, **kw)
+    assert int(res_one.n_dead) == int(res_seg.n_dead)
+    assert int(res_one.n_calls) == int(res_seg.n_calls)
+    np.testing.assert_array_equal(np.asarray(res_one.X),
+                                  np.asarray(res_seg.X))
+    np.testing.assert_array_equal(np.asarray(res_one.logw),
+                                  np.asarray(res_seg.logw))
+    assert float(res_one.logZ) == float(res_seg.logZ)
+
+
 def test_mcmc_gaussian_moments():
     from gpry_tpu.mc.mcmc import run_mcmc_device
     d = 2
