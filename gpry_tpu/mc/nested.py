@@ -304,7 +304,8 @@ def _ns_finalize(state, *, nlive, n_prior, max_dead):
 def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
                       num_repeats=10, precision_criterion=0.01,
                       max_dead=5000, kill_batch=None, mesh=None,
-                      n_prior=None, max_steps_per_call=None):
+                      n_prior=None, max_steps_per_call=None,
+                      on_segment=None):
     """
     Run nested sampling on device.  ``logl_fn(params, X)`` is a jittable
     ``(nq, d) -> (nq,)`` log-density (e.g. the gated surrogate mean); it must
@@ -358,7 +359,13 @@ def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
             logl_fn, params, state, lo, hi, precision_criterion,
             nlive=nlive, num_repeats=int(num_repeats), max_dead=max_dead,
             kill_batch=B, mesh=mesh, n_prior=n_prior, seg_steps=seg)
-        if bool(done):
+        done = bool(done)          # blocks until the segment finished
+        if on_segment is not None:
+            # liveness hook: the segment has completed on device, so
+            # external watchdogs can treat this as proof of forward
+            # progress
+            on_segment()
+        if done:
             break
     return _ns_finalize(state, nlive=nlive, n_prior=n_prior,
                         max_dead=max_dead)

@@ -50,6 +50,9 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
     Returns a samples dict: {"X", "logpost", "weights", "logZ"(NS only)}.
     """
     options = dict(options or {})
+    # liveness hook for external watchdogs (e.g. checkpoint-mtime hang
+    # detectors): called after every bounded NS device segment
+    heartbeat = options.pop("heartbeat", None)
     if sampler in ("cobaya_mcmc", "cobaya_polychord", "cobaya"):
         # Surrogate-as-Cobaya-likelihood route (reference: gpry/mc.py:173)
         from gpry_tpu.mc.cobaya_mc import mc_sample_from_gp_cobaya
@@ -124,7 +127,8 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
             # final-MC outer steps are heavy (nlive=50d chains x 5d
             # repeats); keep each device program well under watchdog
             # territory (observed worker kills on multi-minute programs)
-            max_steps_per_call=int(options.get("ns_steps_per_call", 8)))
+            max_steps_per_call=int(options.get("ns_steps_per_call", 8)),
+            on_segment=heartbeat)
         logw = np.asarray(res.logw, dtype=float)
         keep = np.isfinite(logw) & np.isfinite(np.asarray(res.logl))
         X = np.asarray(res.X, dtype=float)[keep]

@@ -14,6 +14,7 @@ multi-restart fit), fit_simple_every=1.
 """
 
 import os
+import time
 
 import numpy as np
 
@@ -682,6 +683,19 @@ class Runner:
         # (reference: gpry/mc.py:106-156 mcmc_info_from_run cov injection)
         if "mcmc" in str(sampler) and getattr(self, "cov", None) is not None:
             options.setdefault("covmat", self.cov)
+        if str(sampler) == "nested" and self.checkpoint is not None:
+            # keep checkpoint-mtime liveness watchdogs (benchmarks/d16.py)
+            # fed while a long final MC runs between iteration checkpoints
+            hb_path = os.path.join(self.checkpoint, "mc.heartbeat")
+
+            def _heartbeat(path=hb_path):
+                try:
+                    with open(path, "w") as f:
+                        f.write(str(time.time()))
+                except OSError:
+                    pass
+
+            options.setdefault("heartbeat", _heartbeat)
         result = mc_sample_from_gp(
             self.gpr, bounds=self.truth.prior_bounds, sampler=sampler,
             rng=rng or self.rng, options=options, verbose=self.verbose)
