@@ -563,3 +563,43 @@ def test_runner_flat_target_gives_up_gracefully(rng):
     runner.run()
     assert not runner.has_converged
     assert runner.last_mc_result is not None
+
+
+def test_retryable_crash_keeps_mpi_workers_serving(tmp_path, monkeypatch):
+    """Under truth_executor="mpi", a RETRYABLE accelerator crash on rank 0
+    must NOT stop the worker ranks: run_resilient rebuilds a Runner whose
+    first truth broadcast expects them still in serve() (stopping them
+    would deadlock the retry's first collective).  Non-retryable errors
+    must release the workers (run.py:_run_mpi_guarded)."""
+    from gpry_tpu import mpi
+    from gpry_tpu import run as run_mod
+
+    m = random_gaussian(d=2, rng=21)
+    runner = run_mod.Runner(m.loglike, bounds=m.bounds, seed=21, verbose=0,
+                            options={"max_total": 8})
+
+    stopped = []
+    synced = []
+    runner.executor.mode = "mpi"
+    monkeypatch.setattr(runner.executor, "stop_workers",
+                        lambda: stopped.append(1))
+    monkeypatch.setattr(mpi, "multiple_processes", True)
+    monkeypatch.setattr(mpi, "is_main_process", True)
+    monkeypatch.setattr(mpi, "sync_processes", lambda: synced.append(1))
+
+    def crash_retryable(self):
+        raise RuntimeError("UNAVAILABLE: TPU worker process crashed")
+
+    monkeypatch.setattr(run_mod.Runner, "_run_main_loop", crash_retryable)
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        runner._run_mpi_guarded()
+    assert stopped == []          # workers left serving for the retry
+
+    def crash_bug(self):
+        raise ValueError("user-code bug")
+
+    monkeypatch.setattr(run_mod.Runner, "_run_main_loop", crash_bug)
+    with pytest.raises(ValueError):
+        runner._run_mpi_guarded()
+    assert stopped == [1]         # released: no retry is coming
+    assert synced == [1]
