@@ -63,10 +63,16 @@ def child_run(d, seed, ckpt, resume, verbose=2):
     print(RESULT_MARK + json.dumps(row), flush=True)
 
 
-def _ckpt_mtime(ckpt):
+def _ckpt_mtime(ckpt, liveness=True):
+    """Newest file mtime in the checkpoint dir.  ``liveness=True`` counts
+    every file including ``mc.heartbeat`` (fed per NS segment during a
+    long final MC — hang detection).  ``liveness=False`` counts only real
+    per-iteration checkpoint files, so a crash-looping final MC cannot
+    masquerade as forward progress and dodge the wasted-attempt budget."""
     try:
         return max(os.path.getmtime(os.path.join(ckpt, f))
-                   for f in os.listdir(ckpt))
+                   for f in os.listdir(ckpt)
+                   if liveness or f != "mc.heartbeat")
     except (OSError, ValueError):
         return 0.0
 
@@ -101,7 +107,7 @@ def drive_one(d, seed, ckpt_root, hang_grace_s=900, max_attempts=5,
             seed_wall_s is None or time.time() - t0 < seed_wall_s):
         attempt = attempts
         attempts += 1
-        mt_before = _ckpt_mtime(ckpt)
+        mt_before = _ckpt_mtime(ckpt, liveness=False)
         # resume whenever a complete checkpoint exists (also across driver
         # restarts), never wiping prior progress
         from gpry_tpu.io import check_checkpoint
@@ -148,7 +154,7 @@ def drive_one(d, seed, ckpt_root, hang_grace_s=900, max_attempts=5,
         # the checkpoint did not advance AND the tunnel is up right now
         # (a post-mortem probe succeeds).  Outage-killed or progressing
         # attempts retry for free.
-        made_progress = _ckpt_mtime(ckpt) > mt_before
+        made_progress = _ckpt_mtime(ckpt, liveness=False) > mt_before
         tunnel_ok = _wait_for_device_compute(max_wait_s=0)
         if made_progress or not tunnel_ok:
             print(f"[D16] attempt not charged (progress={made_progress}, "

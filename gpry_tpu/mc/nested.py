@@ -141,6 +141,17 @@ def _volume_consts(nlive, n_prior, max_dead):
     return logx_prev_np, log_shell_np, H0
 
 
+def _dead_logw_of(dead_logl, k, logx_prev, log_shell, max_dead_tot):
+    """Unnormalized dead-point log-weights (entries >= k masked)."""
+    idx = jnp.arange(max_dead_tot)
+    return jnp.where(idx < k, dead_logl + logx_prev + log_shell, -jnp.inf)
+
+
+def _logx_of(k, nlive, k0_dead, H0, dtype):
+    """Remaining log prior volume after k dead points."""
+    return -(H0 + (k.astype(dtype) - k0_dead) / nlive)
+
+
 @partial(jax.jit, static_argnames=("logl_fn", "nlive", "n_prior",
                                    "max_dead"))
 def _ns_init(logl_fn, params, key, lo, hi, *, nlive, n_prior, max_dead):
@@ -191,13 +202,11 @@ def _ns_segment(logl_fn, params, state, lo, hi, precision_criterion, *,
     log_shell = jnp.asarray(log_shell_np, dtype)
 
     def logz_dead(dead_logl, k):
-        idx = jnp.arange(max_dead_tot)
-        logw = dead_logl + logx_prev + log_shell
-        logw = jnp.where(idx < k, logw, -jnp.inf)
-        return logsumexp(logw)
+        return logsumexp(_dead_logw_of(dead_logl, k, logx_prev, log_shell,
+                                       max_dead_tot))
 
     def logx_at(k):
-        return -(H0 + (k.astype(dtype) - k0_dead) / nlive)
+        return _logx_of(k, nlive, k0_dead, H0, dtype)
 
     def outer_cond(state):
         key, live_X, live_logl, dead_X, dead_logl, k, calls = state
@@ -288,10 +297,9 @@ def _ns_finalize(state, *, nlive, n_prior, max_dead):
     logx_prev_np, log_shell_np, H0 = _volume_consts(nlive, n_prior, max_dead)
     logx_prev = jnp.asarray(logx_prev_np, dtype)
     log_shell = jnp.asarray(log_shell_np, dtype)
-    idx = jnp.arange(max_dead_tot)
-    dead_logw = jnp.where(
-        idx < k, dead_logl + logx_prev + log_shell, -jnp.inf)
-    logx_final = -(H0 + (k.astype(dtype) - k0_dead) / nlive)
+    dead_logw = _dead_logw_of(dead_logl, k, logx_prev, log_shell,
+                              max_dead_tot)
+    logx_final = _logx_of(k, nlive, k0_dead, H0, dtype)
     live_logw = live_logl + logx_final - jnp.log(float(nlive))
     X_all = jnp.concatenate([dead_X, live_X], axis=0)
     logl_all = jnp.concatenate([dead_logl, live_logl])
@@ -349,8 +357,9 @@ def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
     total_steps = max_dead // B + 2       # has_room bound; cond re-checks
     if max_steps_per_call is None:
         max_steps_per_call = int(os.environ.get("GPRY_TPU_NS_SEG_STEPS", 32))
+    max_steps_per_call = int(max_steps_per_call)
     seg = total_steps if max_steps_per_call <= 0 \
-        else min(total_steps, int(max_steps_per_call))
+        else min(total_steps, max_steps_per_call)
 
     state = _ns_init(logl_fn, params, key, lo, hi, nlive=nlive,
                      n_prior=n_prior, max_dead=max_dead)

@@ -126,8 +126,12 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
             max_dead=max_dead, mesh=available_mesh(p_ns.X),
             # final-MC outer steps are heavy (nlive=50d chains x 5d
             # repeats); keep each device program well under watchdog
-            # territory (observed worker kills on multi-minute programs)
-            max_steps_per_call=int(options.get("ns_steps_per_call", 8)),
+            # territory (observed worker kills on multi-minute programs).
+            # GPRY_TPU_NS_SEG_STEPS (via the None default) still applies
+            # when the ns_steps_per_call option is not set explicitly.
+            max_steps_per_call=options.get(
+                "ns_steps_per_call",
+                int(os.environ.get("GPRY_TPU_NS_SEG_STEPS", 8))),
             on_segment=heartbeat)
         logw = np.asarray(res.logw, dtype=float)
         keep = np.isfinite(logw) & np.isfinite(np.asarray(res.logl))
