@@ -193,6 +193,41 @@ def _lml_batch(family, X, y, n, noise_var, thetas, rel_jitter=0.0):
     )(thetas)
 
 
+def _lml_batch_chunked(family, X, y, n, noise_var, thetas, rel_jitter=0.0):
+    """
+    Memory-budgeted LML sweep: each vmapped lane materializes O(nmax^2)
+    triangular-solve temps, so a dense screen (2048+ thetas) over a large
+    padded buffer blows HBM (observed live at d=16, bucket 1152: the
+    [2055, 1152, 1152] f32 temps wanted 31 G of a 15.75 G chip).  Chunks
+    are host-driven slices of one fixed width (last chunk padded), so each
+    bucket size compiles exactly one program.  Budget:
+    ``GPRY_TPU_LML_SCREEN_MEM_GB`` (default 4).
+    """
+    import os
+    nmax = int(X.shape[0])
+    n_theta = int(thetas.shape[0])
+    itemsize = jnp.dtype(X.dtype).itemsize
+    budget = float(os.environ.get("GPRY_TPU_LML_SCREEN_MEM_GB", 4)) * 2**30
+    # ~3 nmax^2 temps live per lane (K, cho factor, solve scratch)
+    per_lane = 3 * nmax * nmax * itemsize
+    chunk = int(budget // max(per_lane, 1))
+    if chunk >= n_theta:
+        return _lml_batch(family, X, y, n, noise_var, thetas,
+                          rel_jitter=rel_jitter)
+    chunk = max(8, 1 << (max(chunk, 1).bit_length() - 1))  # pow2, >= 8
+    out = []
+    for i in range(0, n_theta, chunk):
+        t = thetas[i:i + chunk]
+        pad = chunk - t.shape[0]
+        if pad:
+            t = jnp.concatenate([t, jnp.broadcast_to(t[-1:],
+                                                     (pad,) + t.shape[1:])])
+        lml = _lml_batch(family, X, y, n, noise_var, t,
+                         rel_jitter=rel_jitter)
+        out.append(lml[:chunk - pad] if pad else lml)
+    return jnp.concatenate(out)
+
+
 # jitted multi-restart hyperparameter fit
 @partial(jax.jit, static_argnames=("family", "maxiter"))
 def _fit_theta_restarts(family, X, y, n, noise_var, theta0s, lo, hi,
@@ -808,7 +843,7 @@ class GaussianProcessRegressor:
             cand = self._rng.uniform(lo, hi, size=(n_screen, len(lo)))
             cand = np.vstack([theta0s[i0:], cand])
             sdt = jnp.float32 if (not on_cpu and dt == jnp.float64) else dt
-            lml_c = np.asarray(_lml_batch(
+            lml_c = np.asarray(_lml_batch_chunked(
                 self.family, self._dX.astype(sdt), self._dy.astype(sdt),
                 n, self._noise_var_, jnp.asarray(cand, sdt),
                 rel_jitter=1e-5 if sdt == jnp.float32 else 0.0))
@@ -884,7 +919,7 @@ class GaussianProcessRegressor:
         cand = np.asarray(thetas, dtype=float)
         if self._fitted:
             cand = np.vstack([cand, np.asarray(self._theta, dtype=float)])
-        lml_exact = np.asarray(_lml_batch(
+        lml_exact = np.asarray(_lml_batch_chunked(
             self.family, self._dX, self._dy, n, self._noise_var_,
             jnp.asarray(cand, dt)))
         self.n_eval_loglike += len(cand)

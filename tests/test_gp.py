@@ -345,3 +345,32 @@ def test_f32_sweep_error_estimate_tracks_reality(rng):
     assert est > med_err / 30, (est, med_err)
     assert est > 1.0  # far above any sane SWEEP_F32_TOL
     assert med_err > 0.05  # f32 genuinely unusable here
+
+
+def test_lml_batch_chunked_matches_unchunked(rng, monkeypatch):
+    """Memory-budgeted screen chunking (the d=16 HBM-OOM fix) must return
+    exactly the same LML values as one vmapped sweep, including the padded
+    last chunk."""
+    import jax.numpy as jnp
+    from gpry_tpu.models.gp import (_lml_batch, _lml_batch_chunked,
+                                    GaussianProcessRegressor)
+    from gpry_tpu.models.preprocessing import Normalize_bounds, Normalize_y
+
+    bounds = np.array([[-1.0, 1.0]] * 2)
+    X = rng.uniform(-1, 1, size=(20, 2))
+    y = -np.sum((X / 0.4) ** 2, axis=1)
+    gpr = GaussianProcessRegressor(
+        bounds=bounds, preprocessing_X=Normalize_bounds(bounds),
+        preprocessing_y=Normalize_y(), n_restarts_optimizer=4,
+        random_state=0)
+    gpr.append_to_data(X, y)
+    lo, hi = np.asarray(gpr.theta_bounds).T
+    thetas = jnp.asarray(rng.uniform(lo, hi, size=(37, len(lo))),
+                         gpr._dX.dtype)
+    ref = np.asarray(_lml_batch(gpr.family, gpr._dX, gpr._dy, gpr.n,
+                                gpr._noise_var_, thetas))
+    # force tiny chunks (pow2-rounded to >= 8) including a padded tail
+    monkeypatch.setenv("GPRY_TPU_LML_SCREEN_MEM_GB", "1e-9")
+    got = np.asarray(_lml_batch_chunked(gpr.family, gpr._dX, gpr._dy,
+                                        gpr.n, gpr._noise_var_, thetas))
+    np.testing.assert_array_equal(ref, got)
