@@ -65,14 +65,15 @@ def child_run(d, seed, ckpt, resume, verbose=2):
 
 def _ckpt_mtime(ckpt, liveness=True):
     """Newest file mtime in the checkpoint dir.  ``liveness=True`` counts
-    every file including ``mc.heartbeat`` (fed per NS segment during a
-    long final MC — hang detection).  ``liveness=False`` counts only real
-    per-iteration checkpoint files, so a crash-looping final MC cannot
-    masquerade as forward progress and dodge the wasted-attempt budget."""
+    every file including ``*.heartbeat`` (touched at phase boundaries and
+    per NS segment during a long final MC — hang detection).
+    ``liveness=False`` counts only real per-iteration checkpoint files, so
+    a crash-looping attempt cannot masquerade as forward progress and
+    dodge the wasted-attempt budget."""
     try:
         return max(os.path.getmtime(os.path.join(ckpt, f))
                    for f in os.listdir(ckpt)
-                   if liveness or f != "mc.heartbeat")
+                   if liveness or not f.endswith(".heartbeat"))
     except (OSError, ValueError):
         return 0.0
 
@@ -180,7 +181,10 @@ if __name__ == "__main__":
     ap.add_argument("--seeds", default="100,101,102")
     ap.add_argument("--verbose", type=int, default=2)
     ap.add_argument("--ckpt-root", default="/tmp/gpry_tpu_d16")
-    ap.add_argument("--hang-grace", type=int, default=900)
+    # large-d iterations legitimately spend many minutes in one phase
+    # (escalating fit ladder on the CPU rung; segmented final MC); phase
+    # heartbeats cover those, but leave slack for single long device calls
+    ap.add_argument("--hang-grace", type=int, default=1800)
     ap.add_argument("--max-attempts", type=int, default=5,
                     help="budget of WASTED attempts (no progress on a "
                          "healthy tunnel); outage retries are free")

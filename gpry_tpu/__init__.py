@@ -10,6 +10,21 @@ __version__ = "0.1.0"
 from gpry_tpu import config  # noqa: F401
 
 
+def check_cobaya_installed():
+    """Whether Cobaya can be imported (reference: gpry/__init__.py)."""
+    try:
+        import cobaya  # noqa: F401
+    except ModuleNotFoundError:
+        return False
+    return True
+
+
+def get_cobaya_class():
+    """The Cobaya sampler wrapper class (reference: gpry/__init__.py)."""
+    from gpry_tpu.cobaya import CobayaWrapper
+    return CobayaWrapper
+
+
 def __getattr__(name):
     # Lazy top-level exports (keep `import gpry_tpu` light).
     if name == "Runner":

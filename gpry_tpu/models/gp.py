@@ -193,7 +193,8 @@ def _lml_batch(family, X, y, n, noise_var, thetas, rel_jitter=0.0):
     )(thetas)
 
 
-def _lml_batch_chunked(family, X, y, n, noise_var, thetas, rel_jitter=0.0):
+def _lml_batch_chunked(family, X, y, n, noise_var, thetas, rel_jitter=0.0,
+                       on_chunk=None):
     """
     Memory-budgeted LML sweep: each vmapped lane materializes O(nmax^2)
     triangular-solve temps, so a dense screen (2048+ thetas) over a large
@@ -225,6 +226,9 @@ def _lml_batch_chunked(family, X, y, n, noise_var, thetas, rel_jitter=0.0):
         lml = _lml_batch(family, X, y, n, noise_var, t,
                          rel_jitter=rel_jitter)
         out.append(lml[:chunk - pad] if pad else lml)
+        if on_chunk is not None:
+            jax.block_until_ready(out[-1])
+            on_chunk()      # liveness tick for hang watchdogs
     return jnp.concatenate(out)
 
 
@@ -775,6 +779,17 @@ class GaussianProcessRegressor:
 
     # ------------------------------------------------------- hyperparameter fit
 
+    def _liveness(self):
+        """Invoke the optional liveness callback (set by the Runner when a
+        checkpoint exists): hang watchdogs distinguish a multi-minute fit
+        ladder from a dead tunnel by these ticks."""
+        cb = getattr(self, "liveness_callback", None)
+        if cb is not None:
+            try:
+                cb()
+            except Exception:
+                pass
+
     def fit_gpr_hyperparameters(self, simple=False, start_from_current=True,
                                 n_restarts=None, hyperparameter_bounds=None,
                                 maxiter=120):
@@ -846,7 +861,8 @@ class GaussianProcessRegressor:
             lml_c = np.asarray(_lml_batch_chunked(
                 self.family, self._dX.astype(sdt), self._dy.astype(sdt),
                 n, self._noise_var_, jnp.asarray(cand, sdt),
-                rel_jitter=1e-5 if sdt == jnp.float32 else 0.0))
+                rel_jitter=1e-5 if sdt == jnp.float32 else 0.0,
+                on_chunk=self._liveness))
             lml_c = np.where(np.isfinite(lml_c), lml_c, -np.inf)
             order = np.argsort(lml_c)[::-1]
             theta0s[i0:] = cand[order[:n_polish - i0]]
@@ -869,6 +885,7 @@ class GaussianProcessRegressor:
                       (jnp.float64, 0.0, "cpu")]
         nlls = thetas = None
         for search_dt, rel_jitter, device in ladder:
+            self._liveness()     # rungs can take minutes each at large n
             args = (self._dX.astype(search_dt), self._dy.astype(search_dt),
                     jnp.asarray(theta0s, search_dt),
                     jnp.asarray(lo, search_dt), jnp.asarray(hi, search_dt))

@@ -134,6 +134,13 @@ class Runner:
             initial_proposer)
         self.executor = TruthExecutor(self.truth, mode=truth_executor)
         self._resumed = resuming
+        # hang-watchdog liveness ticks from inside long fits (see
+        # _touch_liveness); set on both the fresh and the resumed GPR.
+        # A partial over the path (not a bound method) keeps the GPR
+        # checkpoint-picklable without dragging the Runner along.
+        from functools import partial
+        self.gpr.liveness_callback = partial(_touch_liveness_file,
+                                             self.checkpoint)
 
     # -------------------------------------------------------------- logging
 
@@ -467,6 +474,7 @@ class Runner:
             self.progress.add_current_n_truth(self.gpr.n_total, self.gpr.n)
             self.banner(f"Iteration {it} "
                         f"(n_total={self.gpr.n_total}, n_finite={self.gpr.n})")
+            self._touch_liveness()
 
             # [ACQUISITION]
             n_points = min(self.n_points_per_acq, self.n_total_left)
@@ -477,6 +485,7 @@ class Runner:
                 dup = check_candidates(self.gpr.X_train, new_X)
                 new_X, y_pred = new_X[~dup], np.asarray(y_pred)[~dup]
             self.progress.add_acquisition(timer_acq)
+            self._touch_liveness()
             self.log(f"[ACQUISITION] {len(new_X)} points proposed "
                      f"({timer_acq.time:.3g}s)", _VERBOSITY_INFO)
             # Starvation retry (reference: gpry/run.py:885-911): if fewer
@@ -509,6 +518,7 @@ class Runner:
             with TimerCounter(self.gpr) as timer_fit:
                 self._fit_gpr(new_X, new_y)
             self.progress.add_fit(timer_fit)
+            self._touch_liveness()
             self.log(f"[FIT] GPR updated, n={self.gpr.n} "
                      f"({timer_fit.time:.3g}s)", _VERBOSITY_INFO)
 
@@ -669,6 +679,16 @@ class Runner:
 
     # ------------------------------------------------------------- MC sampling
 
+    def _touch_liveness(self):
+        """Touch ``<checkpoint>/liveness.heartbeat``: proof of forward
+        progress for checkpoint-mtime hang watchdogs (benchmarks/d16.py)
+        at phase boundaries finer than the per-iteration checkpoint —
+        single phases (an escalating fit ladder, a long final-MC NS) can
+        legitimately run for many minutes.  Watchdogs must exclude
+        ``*.heartbeat`` files from *progress* accounting (they prove
+        liveness, not advancement)."""
+        _touch_liveness_file(self.checkpoint)
+
     def generate_mc_sample(self, sampler=None, output=None, add_options=None,
                            rng=None):
         """
@@ -686,16 +706,7 @@ class Runner:
         if str(sampler) == "nested" and self.checkpoint is not None:
             # keep checkpoint-mtime liveness watchdogs (benchmarks/d16.py)
             # fed while a long final MC runs between iteration checkpoints
-            hb_path = os.path.join(self.checkpoint, "mc.heartbeat")
-
-            def _heartbeat(path=hb_path):
-                try:
-                    with open(path, "w") as f:
-                        f.write(str(time.time()))
-                except OSError:
-                    pass
-
-            options.setdefault("heartbeat", _heartbeat)
+            options.setdefault("heartbeat", self._touch_liveness)
         result = mc_sample_from_gp(
             self.gpr, bounds=self.truth.prior_bounds, sampler=sampler,
             rng=rng or self.rng, options=options, verbose=self.verbose)
@@ -875,6 +886,21 @@ class Runner:
             raise ValueError("No MC sample generated yet.")
         return gplots.plot_distance_distribution(
             self.gpr, self.last_mc_result, save=output)
+
+
+def _touch_liveness_file(checkpoint_dir):
+    """Write ``<checkpoint_dir>/liveness.heartbeat`` (see
+    Runner._touch_liveness).  Module-level and argument-closed so it can be
+    attached to checkpoint-pickled objects (e.g. ``gpr.liveness_callback``)
+    via functools.partial without capturing the Runner."""
+    if checkpoint_dir is None:
+        return
+    try:
+        with open(os.path.join(checkpoint_dir,
+                               "liveness.heartbeat"), "w") as f:
+            f.write(str(time.time()))
+    except OSError:
+        pass
 
 
 # ---------------------------------------------------------------------------

@@ -603,3 +603,55 @@ def test_retryable_crash_keeps_mpi_workers_serving(tmp_path, monkeypatch):
         runner._run_mpi_guarded()
     assert stopped == [1]         # released: no retry is coming
     assert synced == [1]
+
+
+# ---------------------------------------------------------------------------
+# Phase-boundary liveness heartbeats (benchmarks/d16.py watchdog contract)
+# ---------------------------------------------------------------------------
+
+def test_liveness_heartbeat_touched_and_picklable(tmp_path):
+    """A checkpointed run must leave ``liveness.heartbeat`` behind (phase
+    boundaries touch it), the GPR's liveness callback must survive the
+    checkpoint pickle (it is a partial over a module-level function, not a
+    bound Runner method), and a resumed Runner must re-point the callback
+    at its own checkpoint dir."""
+    import pickle
+
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=31)
+    ckpt = str(tmp_path / "ckpt_hb")
+    runner = Runner(m.loglike, bounds=m.bounds, seed=31, verbose=0,
+                    options={"max_total": 10, "max_initial": 8},
+                    convergence_criterion="DontConverge",
+                    checkpoint=ckpt, load_checkpoint="overwrite")
+    runner.run()
+    hb = os.path.join(ckpt, "liveness.heartbeat")
+    assert os.path.exists(hb)
+
+    # the pickled GPR (as written by save_checkpoint) must round-trip with
+    # the callback attached and the callback must still be invokable
+    blob = pickle.dumps(runner.gpr)
+    gpr2 = pickle.loads(blob)
+    os.remove(hb)
+    gpr2.liveness_callback()
+    assert os.path.exists(hb)
+
+    # resume re-attaches a callback pointing at the resumed checkpoint
+    runner2 = Runner(m.loglike, bounds=m.bounds, seed=31, verbose=0,
+                     checkpoint=ckpt, load_checkpoint="resume")
+    os.remove(hb)
+    runner2.gpr.liveness_callback()
+    assert os.path.exists(hb)
+
+
+def test_liveness_heartbeat_none_without_checkpoint(rng):
+    """No checkpoint dir -> the callback is a no-op that never raises."""
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=32)
+    runner = Runner(m.loglike, bounds=m.bounds, seed=32, verbose=0,
+                    options={"max_total": 8})
+    # must not raise even though there is nowhere to write
+    runner._touch_liveness()
+    runner.gpr.liveness_callback()
