@@ -144,13 +144,16 @@ def drive_one(d, seed, ckpt_root, hang_grace_s=900, max_attempts=5,
         with open(out_path_child) as f:
             out = f.read()
         sys.stdout.write(out[-4000:])
-        if not hung:
-            for line in out.splitlines():
-                if line.startswith(RESULT_MARK):
-                    row = json.loads(line[len(RESULT_MARK):])
-                    row["wall_s"] = round(time.time() - t0, 1)
-                    row["attempts"] = attempts
-                    return row
+        # scan even when hang-killed: the documented hang mode (tunnel RPC
+        # blocking forever) can strike during interpreter TEARDOWN, after
+        # the result row was already printed — discarding it would re-run
+        # the whole expensive final MC for an answer we already have
+        for line in out.splitlines():
+            if line.startswith(RESULT_MARK):
+                row = json.loads(line[len(RESULT_MARK):])
+                row["wall_s"] = round(time.time() - t0, 1)
+                row["attempts"] = attempts
+                return row
         # No result: charge the attempt only if it was genuinely wasted —
         # the checkpoint did not advance AND the tunnel is up right now
         # (a post-mortem probe succeeds).  Outage-killed or progressing

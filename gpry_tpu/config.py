@@ -111,8 +111,20 @@ def _enable_comp_cache(cache_dir):
     import sys as _sys
     import warnings as _warnings
     os.makedirs(cache_dir, exist_ok=True)
-    stamp = os.path.join(cache_dir, f"canary_ok_{_machine_fingerprint()}")
+    fp = _machine_fingerprint()
+    stamp = os.path.join(cache_dir, f"canary_ok_{fp}")
+    # environmental canary failures (import error on this host, timeout
+    # under load) are remembered for an hour so that every process start
+    # (each MPI rank, each resilient-driver child) doesn't re-pay the
+    # subprocess tax — the cache is merely disabled meanwhile
+    softfail = os.path.join(cache_dir, f"canary_softfail_{fp}")
     if not os.path.exists(stamp):
+        try:
+            import time as _time
+            if _time.time() - os.path.getmtime(softfail) < 3600.0:
+                return False
+        except OSError:
+            pass
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         env.pop("GPRY_TPU_COMP_CACHE", None)
         # strip sitecustomize paths that pre-import jax pinned to an
@@ -147,11 +159,20 @@ def _enable_comp_cache(cache_dir):
                 _warnings.warn(
                     f"XLA persistent cache canary could not run at "
                     f"{cache_dir}; disabling the cache for this run "
-                    "(cache kept).")
+                    "(cache kept; retried after 1h).")
+                try:
+                    with open(softfail, "w") as f:
+                        f.write("env-failure\n")
+                except OSError:
+                    pass
             return False
         os.makedirs(cache_dir, exist_ok=True)
         with open(stamp, "w") as f:
             f.write("ok\n")
+        try:
+            os.remove(softfail)
+        except OSError:
+            pass
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     return True

@@ -36,10 +36,11 @@ def clear_checkpoint(path):
     if path is None:
         return
     for fname in _CHECKPOINT_FILES:
-        try:
-            os.remove(os.path.join(path, fname))
-        except FileNotFoundError:
-            pass
+        for suffix in ("", ".tmp"):
+            try:
+                os.remove(os.path.join(path, fname + suffix))
+            except FileNotFoundError:
+                pass
 
 
 def check_checkpoint(path=None):
@@ -102,13 +103,37 @@ def save_checkpoint(path, truth, gpr, acquisition, convergence, options,
     # The GPR is mutated in place (device arrays -> host tuples) while
     # dumping; restore it even when a dump raises (e.g. an unpicklable user
     # loglike), or the live Runner would keep running with a corrupted GPR.
+    #
+    # Two-phase commit: every object is dumped to a ``*.tmp`` sibling
+    # first, then all tmp files are renamed into place with os.replace
+    # (atomic on POSIX).  A crash mid-dump (SIGKILL, OOM, disk full)
+    # therefore NEVER leaves a truncated pickle behind — the crash-resume
+    # machinery (run.Runner resume, run_resilient, benchmarks/d16.py)
+    # would otherwise retry an UnpicklingError forever.  The rename loop
+    # narrows the mixed-generation window from seconds of pickling to
+    # microseconds of metadata ops; a crash inside it can still mix two
+    # adjacent generations, which resumes as a valid (seeded, coherent-
+    # per-file) state one iteration apart — acceptable for an
+    # active-learning loop, unlike truncation.
+    tmp_written = []
     try:
         for fname, obj in objs.items():
-            with open(os.path.join(path, fname), "wb") as f:
+            tmp = os.path.join(path, fname + ".tmp")
+            with open(tmp, "wb") as f:
                 dill.dump(obj, f)
+            tmp_written.append((tmp, os.path.join(path, fname)))
+    except BaseException:
+        for fname in objs:        # includes the partially-dumped one
+            try:
+                os.remove(os.path.join(path, fname + ".tmp"))
+            except OSError:
+                pass
+        raise
     finally:
         # restore device arrays in the live object
         _host_to_device(gpr)
+    for tmp, final in tmp_written:
+        os.replace(tmp, final)
 
 
 def read_checkpoint(path, truth=None):

@@ -93,6 +93,10 @@ class SVM:
         self._dual = None
         self._intercept = None
         self._gamma_val = None
+        # monotonic fit stamp: cache keys (gp.sweep_params) must invalidate
+        # on a classifier refit even when the GP factorization is unchanged
+        # (e.g. an all-infinite append early-returns before refactorizing)
+        self.fit_stamp = 0
 
     # -- threshold logic (reference: gpry/svm.py:273-306) --------------------
 
@@ -129,6 +133,7 @@ class SVM:
         Fit on (preprocessed) X, y with the given threshold.  Returns the
         boolean finite classification of the training points.
         """
+        self.fit_stamp = getattr(self, "fit_stamp", 0) + 1
         self.X_train = np.ascontiguousarray(X, dtype=float)
         self.y_train = np.asarray(y, dtype=float).copy()
         if not np.any(np.isfinite(self.y_train)):

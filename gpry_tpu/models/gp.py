@@ -884,6 +884,7 @@ class GaussianProcessRegressor:
             ladder = [(jnp.float32, 1e-5, None), (jnp.float32, 1e-3, None),
                       (jnp.float64, 0.0, "cpu")]
         nlls = thetas = None
+        nev_ladder = 0   # evals spent across ALL rungs, incl. escalations
         for search_dt, rel_jitter, device in ladder:
             self._liveness()     # rungs can take minutes each at large n
             args = (self._dX.astype(search_dt), self._dy.astype(search_dt),
@@ -903,14 +904,16 @@ class GaussianProcessRegressor:
                 self.family, dX, dy, n, self._noise_var_, t0s_d, lo_d,
                 hi_d, maxiter=maxiter, rel_jitter=rel_jitter)
             nlls = np.asarray(nlls)
+            nev_ladder += int(np.sum(np.asarray(fit_nevs)))
             if np.any(np.isfinite(nlls)):
                 break
             warnings.warn(
                 f"Hyperparameter search rung (dtype={search_dt.__name__}, "
                 f"rel_jitter={rel_jitter}) produced no finite LML; "
                 "escalating.")
-        # exact per-lane objective-eval counts from the solver
-        self.n_eval_loglike += int(np.sum(np.asarray(fit_nevs)))
+        # exact per-lane objective-eval counts from the solver, summed over
+        # every rung executed (escalation rungs do real work too)
+        self.n_eval_loglike += nev_ladder
         # NaN-safe argmin: individual restarts may fail (non-PD at their
         # theta); only all-failed is an error.
         nlls_safe = np.where(np.isfinite(nlls), nlls, np.inf)
@@ -1038,15 +1041,22 @@ class GaussianProcessRegressor:
         dt = self.sweep_dtype()
         if dt == p.X.dtype:
             return p
+        # classifier refits can happen WITHOUT a refactorization (an
+        # all-infinite append early-returns before touching _dL), so the
+        # SVM's fit stamp must be part of the key or sweeps keep gating
+        # on a stale classifier
+        svm_stamp = getattr(self.infinities_classifier, "fit_stamp", -1) \
+            if self.infinities_classifier is not None else -1
         cached = getattr(self, "_sweep_cast_cache", None)
         if cached is not None:
-            (L0, a0, X0, dt0), pc0 = cached
+            (L0, a0, X0, dt0, s0), pc0 = cached
             if (L0 is self._dL and a0 is self._dalpha
-                    and X0 is self._dX and dt0 == str(dt)):
+                    and X0 is self._dX and dt0 == str(dt)
+                    and s0 == svm_stamp):
                 return pc0
         pc = cast_surrogate(p, dt)
         self._sweep_cast_cache = ((self._dL, self._dalpha, self._dX,
-                                   str(dt)), pc)
+                                   str(dt), svm_stamp), pc)
         return pc
 
     def surrogate_params(self, nsv_max=None) -> SurrogateParams:

@@ -84,8 +84,14 @@ class Runner:
             else:
                 # overwrite: remove stale files now — saves skip tru.pkl
                 # when present, so a leftover truth from a previous run
-                # would otherwise survive and poison a later resume
-                gio.clear_checkpoint(checkpoint)
+                # would otherwise survive and poison a later resume.
+                # Main process only: under mpirun every rank constructs a
+                # Runner, and a slow rank reaching this line after rank 0
+                # has already saved iteration checkpoints would delete
+                # live state out from under the driving loop.
+                from gpry_tpu import mpi
+                if mpi.is_main_process:
+                    gio.clear_checkpoint(checkpoint)
 
         if resuming:
             self.log("Resuming from checkpoint...", _VERBOSITY_INFO)

@@ -2,6 +2,7 @@
 Checkpoint/resume integration (mirrors reference tests/test_io.py:47-63).
 """
 
+import os
 import sys
 from pathlib import Path
 
@@ -129,3 +130,44 @@ def test_resume_equals_continuous(tmp_path):
                                r_cont.gpr.y_train_all, rtol=1e-12)
     np.testing.assert_allclose(r_res.gpr.kernel_theta,
                                r_cont.gpr.kernel_theta, rtol=1e-10)
+
+
+def test_save_checkpoint_atomic_on_dump_failure(tmp_path):
+    """A dump failure mid-save (e.g. an unpicklable object) must leave the
+    previous checkpoint generation fully intact and loadable — saves go
+    through tmp files + os.replace, so a crash can truncate at most a
+    ``*.tmp`` sibling, never a real checkpoint file."""
+    import dill
+
+    from gpry_tpu.models import GaussianProcessRegressor
+
+    bounds = np.array([[-1.0, 1.0]] * 2)
+    gpr = GaussianProcessRegressor(bounds=bounds, random_state=0)
+    X = np.random.default_rng(0).uniform(-1, 1, (8, 2))
+    gpr.append_to_data(X, -np.sum(X**2, axis=1))
+    ck = str(tmp_path / "atomic")
+    truth = {"loglike": None}
+
+    gio.save_checkpoint(ck, truth, gpr, "ACQ-GEN-1", "con", {"gen": 1},
+                        "pro")
+    assert np.all(gio.check_checkpoint(ck))
+    assert not [f for f in os.listdir(ck) if f.endswith(".tmp")]
+
+    class Unpicklable:
+        def __reduce__(self):
+            raise TypeError("cannot pickle this")
+
+    with pytest.raises(TypeError):
+        gio.save_checkpoint(ck, truth, gpr, Unpicklable(), "con",
+                            {"gen": 2}, "pro")
+
+    # old generation intact, coherent, and loadable; no tmp litter
+    assert not [f for f in os.listdir(ck) if f.endswith(".tmp")]
+    with open(os.path.join(ck, "acq.pkl"), "rb") as f:
+        assert dill.load(f) == "ACQ-GEN-1"
+    with open(os.path.join(ck, "opt.pkl"), "rb") as f:
+        assert dill.load(f) == {"gen": 1}
+    # the live GPR was restored to device arrays despite the failure
+    import jax
+    assert isinstance(gpr._dX, jax.Array)
+    gpr.predict(X[:2])

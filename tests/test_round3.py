@@ -655,3 +655,80 @@ def test_liveness_heartbeat_none_without_checkpoint(rng):
     # must not raise even though there is nowhere to write
     runner._touch_liveness()
     runner.gpr.liveness_callback()
+
+
+# ---------------------------------------------------------------------------
+# Sweep-cast cache must invalidate on a classifier refit without refactorize
+# ---------------------------------------------------------------------------
+
+def test_sweep_cast_cache_invalidated_by_svm_refit(rng, monkeypatch):
+    """An all-infinite append refits the SVM and early-returns WITHOUT
+    touching the GP factorization (models/gp.py append_to_data); the
+    memoized cast-sweep pytree must still pick up the new classifier, or
+    f32 sweeps keep gating on the stale SVM and re-propose the dead
+    region forever."""
+    import jax.numpy as jnp
+    from gpry_tpu import config
+    from gpry_tpu.models import GaussianProcessRegressor
+    from gpry_tpu.models.preprocessing import Normalize_bounds, Normalize_y
+
+    monkeypatch.setattr(config, "SWEEP_DTYPE", "float32")
+
+    bounds = np.array([[-2.0, 2.0]] * 2)
+    X = rng.uniform(-1, 1, size=(20, 2))
+    y = -0.5 * np.sum((X / 0.5) ** 2, axis=1)
+    # one -inf so the classifier is non-trivially fitted from the start
+    X = np.vstack([X, [[1.9, 1.9]]])
+    y = np.append(y, -np.inf)
+    gpr = GaussianProcessRegressor(
+        bounds=bounds, preprocessing_X=Normalize_bounds(bounds),
+        preprocessing_y=Normalize_y(), n_restarts_optimizer=6,
+        account_for_inf="SVM", random_state=0)
+    gpr.append_to_data(X, y)
+
+    p1 = gpr.sweep_params()
+    assert p1.X.dtype == jnp.float32
+    assert gpr.sweep_params() is p1          # memoized within a generation
+    stamp1 = gpr.infinities_classifier.fit_stamp
+
+    # all-infinite batch: SVM refits, GP factorization untouched
+    X_inf = np.array([[-1.9, 1.9], [1.9, -1.9], [-1.9, -1.9]])
+    gpr.append_to_data(X_inf, np.full(3, -np.inf))
+    assert gpr.infinities_classifier.fit_stamp > stamp1
+
+    p2 = gpr.sweep_params()
+    assert p2 is not p1                      # cache invalidated
+    # the refreshed pytree's SVM must gate the newly learned dead corners
+    from gpry_tpu.models.gp import surrogate_predict
+    mu2, _ = surrogate_predict(gpr.family, p2,
+                               jnp.asarray(X_inf, jnp.float32))
+    assert np.all(np.asarray(mu2) == -np.inf), np.asarray(mu2)
+
+
+def test_overwrite_clear_is_main_process_only(tmp_path, monkeypatch):
+    """Under mpirun every rank constructs a Runner; a slow non-root rank
+    reaching load_checkpoint='overwrite' must NOT delete checkpoint files
+    rank 0 may already have written."""
+    from gpry_tpu import io as gio
+    from gpry_tpu import mpi
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=41)
+    ck = tmp_path / "mpi_guard"
+    ck.mkdir()
+    sentinel = ck / "gpr.pkl"
+    sentinel.write_bytes(b"live state from rank 0")
+
+    monkeypatch.setattr(mpi, "multiple_processes", True)
+    monkeypatch.setattr(mpi, "is_main_process", False)
+    Runner(m.loglike, bounds=m.bounds, seed=41, verbose=0,
+           options={"max_total": 8},
+           checkpoint=str(ck), load_checkpoint="overwrite")
+    assert sentinel.exists()          # non-root rank left it alone
+
+    monkeypatch.setattr(mpi, "is_main_process", True)
+    Runner(m.loglike, bounds=m.bounds, seed=41, verbose=0,
+           options={"max_total": 8},
+           checkpoint=str(ck), load_checkpoint="overwrite")
+    assert not sentinel.exists()      # root rank wipes stale files
+    del gio
