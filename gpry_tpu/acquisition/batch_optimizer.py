@@ -40,6 +40,41 @@ def _acq_values_gated(family, p: SurrogateParams, zeta, noise_std_raw,
     return jnp.where(ok, vals, -jnp.inf)
 
 
+@partial(jax.jit, static_argnames=("family", "key"))
+def _acq_values_generic(family, key, p: SurrogateParams, noise_std_raw,
+                        X_raw):
+    """Gated acquisition values for an ARBITRARY acquisition function
+    (``key = (acqf, params-token)``, the same static-key convention as
+    ``functions.acq_values_jit``).  The LogExp production path uses the
+    fused ``_acq_values_gated`` instead; this generic path serves every
+    other configured ``acq_func`` (Mu, Std, EI, operators, ...) so the
+    engine optimizes what the user actually asked for."""
+    acqf = key[0]
+    mu, std = surrogate_predict(family, p, X_raw)
+    vals = acqf.values(mu, std, p.y_max, noise_std_raw)
+    return jnp.where(jnp.isfinite(mu), vals, -jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("family", "key", "maxiter"))
+def _optimize_restarts_generic(family, key, p: SurrogateParams,
+                               noise_std_raw, x0s, lo, hi, maxiter=100):
+    """Vmapped multistart ascent of an arbitrary acquisition function
+    over the smooth (ungated) surrogate; endpoints re-scored gated."""
+    acqf = key[0]
+
+    def neg_acq(x):
+        mu, std = surrogate_mean_std_smooth(family, p, x[None])
+        mu_c = jnp.minimum(mu[0], p.clip_max)
+        return -acqf.values(mu_c, std[0], p.y_max, noise_std_raw)
+
+    tol = 1e-8 if x0s.dtype == jnp.float64 else 1e-3
+    solve = lambda x0: minimize_lbfgs_bounded(neg_acq, x0, lo, hi,
+                                              maxiter=maxiter, tol=tol)
+    xs, _ = jax.vmap(solve)(x0s)
+    vals = _acq_values_generic(family, key, p, noise_std_raw, xs)
+    return xs, vals
+
+
 @partial(jax.jit, static_argnames=("family", "maxiter"))
 def _optimize_restarts(family, p: SurrogateParams, zeta, noise_std_raw,
                        x0s, lo, hi, maxiter=100):
@@ -130,8 +165,33 @@ class BatchOptimizer(GenericGPAcquisition):
             return p_cur
 
         p_ascent = _make_ascent(p)
+        # LogExp (the production acquisition) takes the fused fast path;
+        # any other configured acq_func is evaluated/ascended through its
+        # own jittable ``values`` so the engine optimizes what the user
+        # asked for (NonlinearLogExp subclasses LogExp with a different
+        # formula, so the dispatch is on the exact type).
+        from gpry_tpu.acquisition.functions import LogExp, _params_token
+        fused = type(self.acq_func) is LogExp
+        acq_key = (self.acq_func, _params_token(self.acq_func))
         zeta = getattr(self.acq_func, "zeta", 1.0)
-        noise_std_raw = float(np.mean(gpr.noise_level))
+        # the acq function's own noise convention: mean noise std by
+        # default, or an explicit LogExp(sigma_n=...) override
+        noise_std_raw = float(self.acq_func._noise_std(gpr))
+
+        def score(p_, X_):
+            if fused:
+                return _acq_values_gated(family, p_, zeta, noise_std_raw,
+                                         X_)
+            return _acq_values_generic(family, acq_key, p_, noise_std_raw,
+                                       X_)
+
+        def ascend(p_, x0s_, lo_, hi_):
+            if fused:
+                return _optimize_restarts(family, p_, zeta, noise_std_raw,
+                                          x0s_, lo_, hi_)
+            return _optimize_restarts_generic(family, acq_key, p_,
+                                              noise_std_raw, x0s_, lo_, hi_)
+
         lo = jnp.asarray(bounds[:, 0], p.X.dtype)
         hi = jnp.asarray(bounds[:, 1], p.X.dtype)
         dt = p.X.dtype
@@ -156,8 +216,7 @@ class BatchOptimizer(GenericGPAcquisition):
             # --- screening: one batched acq evaluation over proposer draws
             n_screen = min(10 * self.d * R, 4000)
             cand = self.proposer.get_batch(n_screen, rng)
-            acq_cand = np.asarray(_acq_values_gated(
-                family, p, zeta, noise_std_raw, jnp.asarray(cand, dt)))
+            acq_cand = np.asarray(score(p, jnp.asarray(cand, dt)))
             self.obj_fun_eval_num += n_screen
             order = np.argsort(acq_cand)[::-1]
             starts = [cand[order[:R_polish - 1]]]
@@ -177,20 +236,18 @@ class BatchOptimizer(GenericGPAcquisition):
                 # vmapped L-BFGS ascent (f32 on accelerators; endpoint
                 # values re-scored in the sweep dtype when they differ)
                 adt = p_ascent.X.dtype
-                xs, vals = _optimize_restarts(
-                    family, p_ascent, zeta, noise_std_raw,
-                    jnp.asarray(x0s, adt), lo.astype(adt), hi.astype(adt))
+                xs, vals = ascend(p_ascent, jnp.asarray(x0s, adt),
+                                  lo.astype(adt), hi.astype(adt))
                 xs = np.asarray(xs)
                 if p_ascent is not p:
-                    vals = np.asarray(_acq_values_gated(
-                        family, p, zeta, noise_std_raw, jnp.asarray(xs, dt)))
+                    vals = np.asarray(score(p, jnp.asarray(xs, dt)))
                 else:
                     vals = np.asarray(vals)
             else:
                 # gradient-free "sampling" (Powell) fallback or a user
                 # callable (reference: gpry/gp_acquisition.py:502-523)
-                xs, vals = self._polish_gradient_free(
-                    family, p, zeta, noise_std_raw, x0s, bounds, dt)
+                xs, vals = self._polish_gradient_free(score, p, x0s,
+                                                      bounds, dt)
             # fall back to the best screened candidate if optimization failed
             if not np.any(np.isfinite(vals)):
                 best_x = cand[order[0]]
@@ -218,22 +275,21 @@ class BatchOptimizer(GenericGPAcquisition):
         self.mean, self.cov = None, None
         return X_out, y_lies, acq_out
 
-    def _polish_gradient_free(self, family, p, zeta, noise_std_raw, x0s,
-                              bounds, dt):
+    def _polish_gradient_free(self, score, p, x0s, bounds, dt):
         """
         Host-driven gradient-free polish, for the reference's
         ``acq_optimizer="sampling"`` (scipy Powell) option and user
         callables (gpry/gp_acquisition.py:511-523).  Each objective call is
-        one batched device evaluation of the gated acquisition; Powell is
-        sequential, so only a few starts are polished (the dense screen has
-        already located the basin).
+        one batched device evaluation of the gated acquisition (``score``,
+        already bound to the configured acq_func); Powell is sequential,
+        so only a few starts are polished (the dense screen has already
+        located the basin).
         """
         import scipy.optimize
 
         def neg_acq(x):
-            v = float(np.asarray(_acq_values_gated(
-                family, p, zeta, noise_std_raw,
-                jnp.asarray(np.atleast_2d(x), dt)))[0])
+            v = float(np.asarray(score(
+                p, jnp.asarray(np.atleast_2d(x), dt)))[0])
             self.obj_fun_eval_num += 1
             return -v if np.isfinite(v) else 1e30
 

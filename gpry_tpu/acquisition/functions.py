@@ -60,8 +60,14 @@ def acq_values_jit(acqf, mu, std, y_max, noise_std):
 
 
 def builtin_names():
-    """Names of all built-in acquisition functions."""
-    return [cls.__name__ for cls in AcquisitionFunction.__subclasses__()]
+    """Names of all built-in acquisition functions (full subclass tree,
+    private helpers excluded)."""
+    def _walk(cls):
+        for sub in cls.__subclasses__():
+            yield sub
+            yield from _walk(sub)
+    return sorted({cls.__name__ for cls in _walk(AcquisitionFunction)
+                   if not cls.__name__.startswith("_")})
 
 
 def is_acquisition_function(obj):
@@ -159,7 +165,13 @@ class LogExp(AcquisitionFunction):
         return super()._noise_std(gpr)
 
     def _gradient(self, mu, std, gmu, gstd, y_max, noise_std):
-        # Reference gradient form (gpry/acquisition_functions.py:993-1007).
+        # Reference gradient form (gpry/acquisition_functions.py:993-1007),
+        # reproduced bit-for-bit INCLUDING its known inconsistency: the
+        # reference's values() is 2 zeta mu + 0.5 log(std^2 - sigma_n^2)
+        # but its gradient is that of 2 zeta mu + log(std - sigma_n) — the
+        # two differ by a factor (std + sigma_n)/std when sigma_n > 0.
+        # Parity wins here: the default sigma_n is the (tiny) mean noise
+        # level, where the difference is negligible.
         ok = (std**2 - noise_std**2 > 0) & np.isfinite(mu)
         g = np.where(ok[..., None],
                      gstd / np.where(ok, std - noise_std, 1.0)[..., None]
@@ -236,12 +248,18 @@ class ExponentialMu(Mu):
     def values(self, mu, std, y_max, noise_std):
         return jnp.exp(mu)
 
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_std):
+        return np.exp(mu)[..., None] * gmu
+
 
 class ExponentialStd(Std):
     """exp(std) - 1 (gpry/acquisition_functions.py:688; unused upstream)."""
 
     def values(self, mu, std, y_max, noise_std):
         return jnp.where(jnp.isfinite(mu), jnp.expm1(std), -jnp.inf)
+
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_std):
+        return np.exp(std)[..., None] * gstd
 
 
 class ExpectedImprovement(AcquisitionFunction):
@@ -259,6 +277,15 @@ class ExpectedImprovement(AcquisitionFunction):
         z = (mu - y_max - self.xi) / s
         ei = (mu - y_max - self.xi) * norm.cdf(z) + s * norm.pdf(z)
         return jnp.where(ok, ei, 0.0)
+
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_std):
+        # dEI/dmu = Phi(z), dEI/dsigma = phi(z)  (standard EI gradient)
+        from scipy.stats import norm
+        ok = (std > 0) & np.isfinite(mu)
+        s = np.where(ok, std, 1.0)
+        z = (mu - y_max - self.xi) / s
+        g = norm.cdf(z)[..., None] * gmu + norm.pdf(z)[..., None] * gstd
+        return np.where(ok[..., None], g, 0.0)
 
 
 # -- operators (API parity with gpry/acquisition_functions.py:1287-1449) -----
@@ -279,11 +306,24 @@ class Sum(_BinaryOp):
         return (self.f1.values(mu, std, y_max, noise_std)
                 + self.f2.values(mu, std, y_max, noise_std))
 
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_std):
+        return (self.f1._gradient(mu, std, gmu, gstd, y_max, noise_std)
+                + self.f2._gradient(mu, std, gmu, gstd, y_max, noise_std))
+
 
 class Product(_BinaryOp):
     def values(self, mu, std, y_max, noise_std):
         return (self.f1.values(mu, std, y_max, noise_std)
                 * self.f2.values(mu, std, y_max, noise_std))
+
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_std):
+        v1 = np.asarray(self.f1.values(jnp.asarray(mu), jnp.asarray(std),
+                                       y_max, noise_std))
+        v2 = np.asarray(self.f2.values(jnp.asarray(mu), jnp.asarray(std),
+                                       y_max, noise_std))
+        g1 = self.f1._gradient(mu, std, gmu, gstd, y_max, noise_std)
+        g2 = self.f2._gradient(mu, std, gmu, gstd, y_max, noise_std)
+        return v2[..., None] * g1 + v1[..., None] * g2
 
 
 class Exponentiation(AcquisitionFunction):
@@ -291,5 +331,16 @@ class Exponentiation(AcquisitionFunction):
         self.f, self.exponent = f, float(exponent)
         self._params = {"exponent": self.exponent}
 
+    @property
+    def hasgradient(self):
+        # delegates like _BinaryOp: no gradient if the base has none
+        return self.f.hasgradient
+
     def values(self, mu, std, y_max, noise_std):
         return self.f.values(mu, std, y_max, noise_std) ** self.exponent
+
+    def _gradient(self, mu, std, gmu, gstd, y_max, noise_std):
+        v = np.asarray(self.f.values(jnp.asarray(mu), jnp.asarray(std),
+                                     y_max, noise_std))
+        gf = self.f._gradient(mu, std, gmu, gstd, y_max, noise_std)
+        return (self.exponent * v ** (self.exponent - 1.0))[..., None] * gf

@@ -275,6 +275,18 @@ class NORA(GenericGPAcquisition):
                 self._proposed = np.empty((0, self.d))
         self._iter_since_mc += 1
 
+        # Degenerate NS outcome: every sample gated to -inf (e.g. the SVM
+        # or trust region classifies essentially everywhere dead early
+        # on).  Return an EMPTY proposal instead of crashing on zero-size
+        # reductions — the Runner's starvation path then retries with
+        # force_resample and gives up gracefully after its budget.
+        if (self.last_MC_X is None or len(self.last_MC_X) == 0
+                or not np.any(np.isfinite(self.last_MC_logw))):
+            self.log("[NORA] NS produced no finite-weight samples; "
+                     "returning an empty proposal.", level=2)
+            self.mean, self.cov = None, None
+            return (np.empty((0, self.d)), np.empty(0), np.empty(0))
+
         X = self.last_MC_X
         y = self.last_MC_logp
         sd = self.last_MC_sigma
@@ -294,9 +306,10 @@ class NORA(GenericGPAcquisition):
             X, y, sd = X[fresh], y[fresh], sd[fresh]
 
         # 3. acquisition over the sample (one batched evaluation).
-        # noise_std = mean noise std, squared inside values() — the single
-        # noise convention (reference: gpry/acquisition_functions.py:973-983).
-        noise_std = float(np.mean(gpr.noise_level))
+        # noise_std = the acquisition function's own convention — mean
+        # noise std by default, or an explicit LogExp(sigma_n=...) override
+        # (reference: gpry/acquisition_functions.py:973-983).
+        noise_std = self.acq_func._noise_std(gpr)
         from gpry_tpu.acquisition.functions import acq_values_jit
         acq_fn = lambda yy, ss: np.asarray(acq_values_jit(
             self.acq_func, jnp.asarray(yy), jnp.asarray(ss), gpr.y_max,
@@ -329,6 +342,10 @@ class NORA(GenericGPAcquisition):
         (reference: gpry/gp_acquisition.py:921-954)."""
         if self.last_MC_X is None:
             raise ValueError("No NS sample available yet.")
+        if len(self.last_MC_X) == 0 or \
+                not np.any(np.isfinite(self.last_MC_logw)):
+            raise ValueError("The last NS sample is empty (all samples "
+                             "gated to -inf).")
         w = np.exp(self.last_MC_logw - np.max(self.last_MC_logw))
         return self.last_MC_X, self.last_MC_logp, w
 

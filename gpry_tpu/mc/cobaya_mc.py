@@ -126,5 +126,7 @@ def mc_sample_from_gp_cobaya(gpr, bounds=None, params=None, sampler="mcmc",
     X = np.asarray(data[params])
     weights = np.asarray(data["weight"], dtype=float)
     logpost = -np.asarray(data["minuslogpost"], dtype=float)
-    gpr.n_eval += len(X)
+    # n_eval is NOT bumped here: the surrogate likelihood Cobaya calls goes
+    # through gpr.predict, which already counts every evaluation
+    # (models/gp.py), so adding the chain length would double-count
     return {"X": X, "logpost": logpost, "weights": weights}

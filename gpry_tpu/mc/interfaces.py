@@ -81,18 +81,35 @@ class InterfaceDevice(NSInterface):
         hi = jnp.asarray(self.bounds[:, 1], dt)
         if isinstance(logp_fn_and_params, tuple):
             fn, params = logp_fn_and_params
+            from gpry_tpu.parallel.mesh import available_mesh
+            mesh = available_mesh(platform=None)
         else:
-            raise ValueError(
-                "InterfaceDevice needs a (jittable_fn, params) pair.")
+            # plain callable (the generic NSInterface.run contract): wrap
+            # through a host callback — every batched likelihood request
+            # from the device loop round-trips to the host.  Slower, for
+            # API parity; unmeshed (callbacks inside shard_map are not
+            # portable).
+            host_fn = logp_fn_and_params
+
+            def fn(params, X):
+                del params
+                return jax.pure_callback(
+                    lambda Xh: np.asarray(
+                        host_fn(np.asarray(Xh)),
+                        dtype=dt).reshape(np.shape(Xh)[0]),
+                    jax.ShapeDtypeStruct((X.shape[0],), dt),
+                    X, vmap_method="sequential")
+
+            params = ()
+            mesh = None
         d = self.bounds.shape[0]
         key = jax.random.PRNGKey(int(self.rng.integers(2**31)))
-        from gpry_tpu.parallel.mesh import available_mesh
         res = run_nested_device(
             fn, params, key, lo, hi, nlive=self.nlive or 25 * d,
             num_repeats=self.num_repeats or 5 * d,
             precision_criterion=self.precision_criterion or 0.01,
             max_dead=int((self.nlive or 25 * d) * max(10, 3 * d)),
-            n_prior=self.nprior, mesh=available_mesh(platform=None))
+            n_prior=self.nprior, mesh=mesh)
         logw = np.asarray(res.logw)
         keep = np.isfinite(logw)
         return {

@@ -76,7 +76,12 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
         seed = int(rng.integers(2**31))
     elif rng is not None:
         seed = int(rng)
-    key = jax.random.PRNGKey(seed if seed is not None else 0)
+    else:
+        # fresh OS entropy — a fixed default key would perfectly correlate
+        # e.g. every fallback-MCMC convergence estimate of a run (and of
+        # every run), hiding the estimator's stochastic variability
+        seed = int(np.random.default_rng().integers(2**31))
+    key = jax.random.PRNGKey(seed)
 
     if sampler in ("polychord", "ultranest", "nessai"):
         # Host NS engines over the surrogate (reference:

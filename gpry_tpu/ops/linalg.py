@@ -180,6 +180,11 @@ def predict_meancov(family, theta, X, n, noise_var, L, alpha, Xq):
     mean = Kq @ alpha
     V = solve_triangular(L, Kq.T, lower=True)                        # (Nmax, nq)
     Kqq = cross_kernel(family, theta, Xq, Xq)
+    # same-point covariance can exceed the cross form's diagonal
+    # (WhiteKernel members, sklearn semantics) — restore it so
+    # diag(cov) == predict_meanvar's variance for every kernel spec
+    Kqq = Kqq + jnp.diag(kernel_diag(family, theta, Xq)
+                         - jnp.diagonal(Kqq))
     cov = Kqq - V.T @ V
     return mean, cov
 
