@@ -64,6 +64,10 @@ class ConvergenceCriterion:
         self.n_posterior_evals = []
         self.n_accepted_evals = []
         self._set_convergence_policy(params)
+        # seeded by the Runner (re-linked on resume): the fallback MCMC
+        # mean/cov estimate must ride the run's RNG stream or identically
+        # seeded runs diverge at the first convergence check
+        self.rng = None
 
     def _set_convergence_policy(self, params):
         policy = (params or {}).get("policy", self._default_policy)
@@ -136,8 +140,9 @@ class DontConverge(ConvergenceCriterion):
 
 class CorrectCounter(ConvergenceCriterion):
     """
-    Converged when the GP predicted the last ``n_correct`` consecutive
-    truth evaluations within tolerance
+    Converged when the GP predicted MORE THAN ``n_correct`` consecutive
+    truth evaluations within tolerance (strictly ``n_pred > n_correct``,
+    the reference's own comparison, gpry/convergence.py:843)
     ``|y_pred - y| < reltol * |y - y_max| + abstol``
     (reference: gpry/convergence.py:755-879).  ``reltol``/``abstol`` accept
     the sigma-scaling suffixes "l"/"s"/"r".
@@ -249,6 +254,7 @@ class GaussianKL(ConvergenceCriterion):
         try:
             s = mc_sample_from_gp(
                 gp, bounds=self.prior_bounds, sampler="mcmc",
+                rng=getattr(self, "rng", None),
                 options={"n_steps": max(500, self.n_steps)})
         except Exception as excpt:
             raise ConvergenceCheckError(

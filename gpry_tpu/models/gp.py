@@ -293,9 +293,7 @@ class GaussianProcessRegressor:
         self.trust_region_factor = trust_region_factor
         self.trust_region_nstd = trust_region_nstd
         self.trust_bounds = None
-        self._rng = np.random.default_rng(
-            random_state if not isinstance(random_state, np.random.Generator)
-            else random_state)
+        self._rng = np.random.default_rng(random_state)
         self.n_eval = 0
         self.n_eval_loglike = 0
 
@@ -507,8 +505,11 @@ class GaussianProcessRegressor:
             return self._diff_threshold
         y_sorted = np.sort(y)
         diff_nth = y_sorted[-1] - y_sorted[-min(n, len(y_sorted))]
-        if not np.isfinite(diff_nth):
-            return self._diff_threshold
+        # When fewer than n points are finite, diff_nth is +inf and so is
+        # the returned threshold: every finite point is kept — exactly the
+        # reference's behavior (no isfinite guard there either).  A finite
+        # fallback here would silently shrink the training set below
+        # keep_min_finite whenever -inf values are present.
         return max(self._diff_threshold, diff_nth + 1e-6)
 
     def _is_finite_all(self, diff_threshold=None):
@@ -849,6 +850,14 @@ class GaussianProcessRegressor:
         self._dX = jnp.asarray(Xp, dt)
         self._dy = jnp.asarray(yp, dt)
         self._noise_var_ = self._transformed_noise_var(nmax)
+        if self._dL is not None and self._dL.shape[0] != nmax:
+            # bucket crossed: the old factorization no longer matches the
+            # padded buffers.  Drop it NOW so an exception escaping the
+            # search below (e.g. all-restarts-non-finite LinAlgError)
+            # leaves a coherent "unfitted" state — predict() then falls
+            # back to the prior instead of feeding shape-mismatched
+            # (X, L) pairs into triangular solves.
+            self._dL = self._dalpha = None
 
         on_cpu = all(dev.platform == "cpu" for dev in self._dX.devices())
         if n_polish > i0 + 1:

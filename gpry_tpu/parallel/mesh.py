@@ -128,59 +128,6 @@ def sharded_predict(family, p, Xq, mesh, axis_name="data"):
     return fn(Xq)
 
 
-def sharded_fit_restarts(family, X, y, n, noise_var, theta0s, lo, hi,
-                         mesh, axis_name="data", maxiter=100):
-    """
-    DP hyperparameter fit: restarts sharded over the mesh (the TPU analogue
-    of the reference's MPI-split restarts, gpry/run.py:1253-1293).
-    Returns (thetas, nlls) gathered over all restarts.
-    """
-
-    def local(theta0s_shard):
-        def nll(theta):
-            return -masked_lml(family, theta, X, y, n, noise_var)
-
-        solve = lambda t0: minimize_lbfgs_bounded(nll, t0, lo, hi,
-                                                  maxiter=maxiter)
-        return jax.vmap(solve)(theta0s_shard)
-
-    fn = jax.shard_map(local, mesh=mesh, in_specs=(P(axis_name, None),),
-                   out_specs=(P(axis_name, None), P(axis_name)),
-                   check_vma=False)
-    return fn(theta0s)
-
-
-def tp_predict_mean(family, theta, X, alpha, n, x_loc, x_scale, y_loc,
-                    y_scale, Xq, mesh, axis_name="data"):
-    """
-    TP predictive mean: the *training-point* axis of (X, alpha) is sharded;
-    each device computes its partial K(Xq, X_shard) @ alpha_shard and the
-    partials are reduced with ``psum`` over ICI.  The padded-buffer design
-    makes this exact: masked-out rows carry alpha = 0.
-    """
-
-    def local(X_shard, alpha_shard, row0):
-        Xq_ = (Xq - x_loc) / x_scale
-        nmax_local = X_shard.shape[0]
-        idx = row0[0] + jnp.arange(nmax_local)
-        m = (idx < n).astype(X_shard.dtype)
-        K = cross_kernel(family, theta, Xq_, X_shard) * m[None, :]
-        partial_mean = K @ alpha_shard
-        mean_ = jax.lax.psum(partial_mean, axis_name)
-        return mean_ * y_scale + y_loc
-
-    nmax = X.shape[0]
-    n_dev = mesh.shape[axis_name]
-    row_starts = (jnp.arange(n_dev) * (nmax // n_dev))[:, None]
-    fn = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name), P(axis_name, None)),
-        out_specs=P(None),
-        check_vma=False,
-    )
-    return fn(X, alpha, row_starts)
-
-
 def device_put_sharded_rows(X, mesh, axis_name="data"):
     """Place an array with its leading axis sharded over the mesh."""
     return jax.device_put(X, NamedSharding(mesh, P(axis_name)))
@@ -190,7 +137,7 @@ def device_put_sharded_rows(X, mesh, axis_name="data"):
 # TP (training-axis) gated prediction
 # ---------------------------------------------------------------------------
 # Mean: partial K(q, X_shard) @ alpha_shard, psum over shards (as in
-# tp_predict_mean).  Std: with M = K^-1 sharded by training rows,
+# the deleted legacy tp_predict_mean).  Std: with M = K^-1 sharded by rows,
 # sigma^2(q) = prior_var(q) - k_q^T M k_q, where each device computes
 # k_q_shard^T (M_shard @ k_q_full); one tiled all_gather of k_q + one psum.
 # M is computed once per factorization from the padded L (identity padding

@@ -138,6 +138,12 @@ class Runner:
         # to the truth, which checkpoints only as a re-init dict).
         self.initial_proposer = self._construct_initial_proposer(
             initial_proposer)
+        # One RNG stream for everything, both fresh and resumed: the
+        # criteria's fallback-MCMC mean/cov estimates must ride the run's
+        # seeded stream (a pickled Generator in con.pkl would be a COPY,
+        # diverging from the Runner's on resume).
+        for _cc in self.convergence_criterion:
+            _cc.rng = self.rng
         self.executor = TruthExecutor(self.truth, mode=truth_executor)
         self._resumed = resuming
         # hang-watchdog liveness ticks from inside long fits (see
@@ -507,9 +513,10 @@ class Runner:
                              _VERBOSITY_ERROR)
                     break
                 self.log("Acquisition returned less than half of the "
-                         "requested points. Re-sampling ("
-                         f"{self.n_resamples_before_giveup - self.resamples}"
-                         " tries remaining)", _VERBOSITY_WARN)
+                         "requested points. Re-sampling (try "
+                         f"{self.resamples}/"
+                         f"{self.n_resamples_before_giveup})",
+                         _VERBOSITY_WARN)
                 continue
             self.resamples = 0
 
@@ -587,13 +594,18 @@ class Runner:
         """
         n_finite, n_tried = 0, 0
         X_all, y_all = [], []
-        batch = max(self.n_initial, 2)
         while n_finite < self.n_initial:
             if n_tried >= self.max_initial:
                 raise RuntimeError(
                     f"Could not find {self.n_initial} finite initial points "
                     f"within max_initial={self.max_initial} evaluations. "
                     "Try decreasing your prior volume.")
+            # size each top-up batch to the remaining deficit, capped by
+            # the remaining budget: truth evaluations are the expensive
+            # resource, and a 1-point deficit must not trigger another
+            # full n_initial-sized batch
+            batch = min(max(self.n_initial - n_finite, 2),
+                        self.max_initial - n_tried)
             X = np.atleast_2d(self.initial_proposer.get_batch(
                 batch, self.rng))
             y = self.executor.logp_batch(X)
@@ -614,8 +626,16 @@ class Runner:
             fit_gpr={"n_restarts": self._fit_restarts()})
 
     def _fit_restarts(self):
-        return getattr(self, "_gpr_fit_restarts", None) or \
-            (10 + 2 * self.d)
+        # Explicit None checks, NOT truthiness: n_restarts_optimizer=0 is
+        # a legitimate "never re-optimize hyperparameters" configuration
+        # and must not be silently replaced by the default.  The GPR's own
+        # attribute covers the prebuilt-instance and checkpoint-resume
+        # paths, where _construct_gpr (which sets _gpr_fit_restarts)
+        # never ran.
+        configured = getattr(self, "_gpr_fit_restarts", None)
+        if configured is None:
+            configured = getattr(self.gpr, "n_restarts_optimizer", None)
+        return (10 + 2 * self.d) if configured is None else int(configured)
 
     def _fit_gpr(self, new_X, new_y):
         """

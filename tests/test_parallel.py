@@ -11,8 +11,8 @@ from gpry_tpu.models.classifier import trivial_svm_params
 from gpry_tpu.models.gp import SurrogateParams, surrogate_predict
 from gpry_tpu.ops.kernels import make_theta
 from gpry_tpu.ops.linalg import factorize
-from gpry_tpu.parallel.mesh import (make_mesh, sharded_fit_restarts,
-                                    sharded_predict, tp_predict_mean)
+from gpry_tpu.parallel.mesh import (_sharded_fit_theta, make_mesh,
+                                    sharded_predict, tp_predict)
 
 
 @pytest.fixture(scope="module")
@@ -57,19 +57,20 @@ def test_sharded_predict_matches_single(mesh8, params):
     assert np.allclose(np.asarray(std_s), np.asarray(std))
 
 
-def test_tp_predict_mean_matches(mesh8, params):
+def test_tp_predict_matches(mesh8, params):
+    """The production TP entry point (training axis sharded, psum mean +
+    K^-1 quadratic-form std) must match the single-device gated predict."""
     rng = np.random.default_rng(2)
     Xq = jnp.asarray(rng.uniform(size=(8, 4)), params.X.dtype)
     with mesh8:
-        mean_tp = tp_predict_mean(
-            "rbf", params.theta, params.X, params.alpha, params.n,
-            params.x_loc, params.x_scale, params.y_loc, params.y_scale,
-            Xq, mesh8)
-    mean, _ = surrogate_predict("rbf", params, Xq)
+        mean_tp, std_tp = tp_predict("rbf", params, Xq, mesh8)
+    mean, std = surrogate_predict("rbf", params, Xq)
     assert np.allclose(np.asarray(mean_tp), np.asarray(mean), atol=1e-10)
+    assert np.allclose(np.asarray(std_tp), np.asarray(std),
+                       rtol=1e-7, atol=1e-9)
 
 
-def test_sharded_fit_restarts_runs(mesh8, params):
+def test_sharded_fit_theta_matches_single(mesh8, params):
     rng = np.random.default_rng(3)
     d = 4
     lo = jnp.full(1 + d, -5.0, params.X.dtype)
@@ -77,7 +78,7 @@ def test_sharded_fit_restarts_runs(mesh8, params):
     theta0s = jnp.asarray(rng.uniform(-3, 3, size=(16, 1 + d)),
                           params.X.dtype)
     with mesh8:
-        thetas, nlls = sharded_fit_restarts(
+        thetas, nlls, nevs = _sharded_fit_theta(
             "rbf", params.X, params.y, params.n, 1e-4, theta0s, lo, hi,
             mesh8, maxiter=100)
     nlls = np.asarray(nlls)
@@ -92,8 +93,10 @@ def test_sharded_fit_restarts_runs(mesh8, params):
         "rbf", params.X, params.y, params.n, 1e-4, theta0s, lo, hi,
         maxiter=100)
     nlls_1 = np.asarray(nlls_1)
-    # exact eval counts: at least 1 per lane (the initial value_and_grad)
+    # exact eval counts: at least 1 per lane (the initial value_and_grad),
+    # and identical counts whichever shard a lane landed in
     assert np.all(np.asarray(nevs_1) >= 1)
+    assert np.array_equal(np.asarray(nevs), np.asarray(nevs_1))
     finite = np.isfinite(nlls) & np.isfinite(nlls_1)
     assert np.array_equal(np.isfinite(nlls), np.isfinite(nlls_1))
     np.testing.assert_allclose(nlls[finite], nlls_1[finite], rtol=1e-8)
