@@ -66,6 +66,11 @@ class Runner:
         self.has_converged = False
         self.current_iteration = 0
         self.mean, self.cov = None, None
+        # starved-acquisition exploration fallback state (see
+        # _starved_exploration_batch); persisted in the checkpoint's
+        # _runtime dict so a resumed run continues the same Sobol net.
+        self._n_explored = 0
+        self._explore_seed = None
 
         # -- checkpoint resume -------------------------------------------------
         resuming = False
@@ -115,6 +120,8 @@ class Runner:
                 rng_state = runtime.get("rng_state")
                 if rng_state is not None and seed is None:
                     self.rng.bit_generator.state = rng_state
+                self._n_explored = int(runtime.get("n_explored", 0))
+                self._explore_seed = runtime.get("explore_seed")
             self._load_options(self.options)
             # Re-link the single RNG stream into components that drop
             # theirs on pickling.
@@ -246,6 +253,10 @@ class Runner:
             "fit_simple_every": getn("fit_simple_every", 1),
             "n_resamples_before_giveup":
                 int(options.get("n_resamples_before_giveup", 2)),
+            # Last-resort space-filling exploration budget after starved
+            # acquisitions (0 disables = the reference's give-up
+            # semantics, gpry/run.py:885-911).
+            "max_starved_explore": getn("max_starved_explore", "32d"),
         }
         if "max_total" in options:
             out["max_total"] = getn("max_total", None)
@@ -267,6 +278,7 @@ class Runner:
         self.fit_simple_every = options["fit_simple_every"]
         self.n_resamples_before_giveup = \
             options["n_resamples_before_giveup"]
+        self.max_starved_explore = options.get("max_starved_explore", 0)
         if self.n_initial <= 0:
             raise ValueError("n_initial must be > 0.")
         if self.max_initial < self.n_initial:
@@ -504,21 +516,39 @@ class Runner:
             # than half the requested points came back, skip evaluating the
             # sub-minimal batch and force the acquisition to re-sample (NORA
             # runs a fresh NS) on the next pass, up to
-            # n_resamples_before_giveup times.
+            # n_resamples_before_giveup times.  Once retries are exhausted,
+            # fall back to a bounded space-filling exploration batch
+            # (_starved_exploration_batch) before giving up outright.
+            explored_batch = False
             if len(new_X) < max(1, n_points // 2):
                 self.resamples += 1
                 if self.resamples > self.n_resamples_before_giveup:
-                    self.log("Acquisition returning no values after "
-                             f"{self.resamples - 1} re-tries. Giving up.",
-                             _VERBOSITY_ERROR)
-                    break
-                self.log("Acquisition returned less than half of the "
-                         "requested points. Re-sampling (try "
-                         f"{self.resamples}/"
-                         f"{self.n_resamples_before_giveup})",
-                         _VERBOSITY_WARN)
-                continue
-            self.resamples = 0
+                    # explore in initial-training-sized batches: the
+                    # points are uninformed anyway, and batching amortizes
+                    # the per-iteration NS + refit cost
+                    new_X = self._starved_exploration_batch(
+                        max(n_points, self.n_initial))
+                    if new_X is None or len(new_X) == 0:
+                        self.log("Acquisition returning no values after "
+                                 f"{self.resamples - 1} re-tries. Giving up.",
+                                 _VERBOSITY_ERROR)
+                        break
+                    explored_batch = True
+                    self.log("[EXPLORATION] acquisition starved "
+                             f"{self.resamples - 1}x; falling back to a "
+                             f"Sobol exploration batch of {len(new_X)} "
+                             f"({self._n_explored}/"
+                             f"{self.max_starved_explore} budget spent)",
+                             _VERBOSITY_WARN)
+                else:
+                    self.log("Acquisition returned less than half of the "
+                             "requested points. Re-sampling (try "
+                             f"{self.resamples}/"
+                             f"{self.n_resamples_before_giveup})",
+                             _VERBOSITY_WARN)
+                    continue
+            else:
+                self.resamples = 0
 
             # [EVALUATION]
             with Timer() as timer_truth:
@@ -540,13 +570,23 @@ class Runner:
                 self.callback(self)
 
             # [CONVERGENCE]
-            with TimerCounter(self.gpr) as timer_conv:
-                self.has_converged, conv_value = \
-                    self._check_convergence(new_X, new_y, y_pred)
-            self.progress.add_convergence(timer_conv, conv_value)
-            self.log(f"[CONVERGENCE] value={conv_value:.3g} "
-                     f"converged={self.has_converged} "
-                     f"({timer_conv.time:.3g}s)", _VERBOSITY_INFO)
+            if explored_batch:
+                # Exploration points carry no acquisition information: a
+                # flat surrogate trivially "predicts" them right, so
+                # feeding them to CorrectCounter would let a run converge
+                # on a surrogate the acquisition never probed.  Convergence
+                # must be earned by acquisition-driven iterations.
+                self.progress.add_convergence(Timer(), np.nan)
+                self.log("[CONVERGENCE] skipped on an exploration batch "
+                         "(no acquisition information).", _VERBOSITY_INFO)
+            else:
+                with TimerCounter(self.gpr) as timer_conv:
+                    self.has_converged, conv_value = \
+                        self._check_convergence(new_X, new_y, y_pred)
+                self.progress.add_convergence(timer_conv, conv_value)
+                self.log(f"[CONVERGENCE] value={conv_value:.3g} "
+                         f"converged={self.has_converged} "
+                         f"({timer_conv.time:.3g}s)", _VERBOSITY_INFO)
 
             self.update_mean_cov()
 
@@ -586,6 +626,46 @@ class Runner:
                 except Exception as excpt:
                     self.log(f"Final MC failed: {excpt}", _VERBOSITY_ERROR)
         return self
+
+    def _starved_exploration_batch(self, n_points):
+        """Last-resort space-filling exploration after exhausted
+        starvation retries.
+
+        When the acquisition engine keeps returning (near-)empty proposals
+        even after forced NS resamples -- typically because the surrogate
+        is flat and the acquisition has no gradient anywhere (e.g. a
+        narrow spike on a broad base, where every initial point sees only
+        the base: tests/model_generator.py:spike) -- the reference gives
+        up outright (gpry/run.py:885-911).  Instead, spend up to
+        ``max_starved_explore`` truth evaluations on a scrambled-Sobol
+        sweep of the prior bounds: exploration with zero information is a
+        search problem, and a low-discrepancy net finds localized
+        structure far faster than iid draws.  The sequence index and seed
+        persist across batches and checkpoint/resume, so successive
+        batches keep refining one space-filling net.  Returns ``None``
+        when disabled (``max_starved_explore=0``) or exhausted.
+        """
+        n_budget = min(self.max_starved_explore - self._n_explored,
+                       self.n_total_left)
+        if n_budget <= 0:
+            return None
+        n = int(min(max(n_points, 1), n_budget))
+        from scipy.stats import qmc
+        if self._explore_seed is None:
+            self._explore_seed = int(self.rng.integers(2 ** 31 - 1))
+        eng = qmc.Sobol(self.d, scramble=True, seed=self._explore_seed)
+        if self._n_explored:
+            eng.fast_forward(self._n_explored)
+        import warnings
+        with warnings.catch_warnings():
+            # non-power-of-two draws are fine: the net keeps extending
+            warnings.simplefilter("ignore", UserWarning)
+            u = eng.random(n)
+        self._n_explored += n
+        lo, hi = self.prior_bounds[:, 0], self.prior_bounds[:, 1]
+        X = lo + u * (hi - lo)
+        dup = check_candidates(self.gpr.X_train, X)
+        return X[~dup]
 
     def do_initial_training(self):
         """
@@ -863,6 +943,8 @@ class Runner:
                 "current_iteration": int(self.current_iteration),
                 "has_converged": bool(self.has_converged),
                 "rng_state": self.rng.bit_generator.state,
+                "n_explored": int(self._n_explored),
+                "explore_seed": self._explore_seed,
             }
             gio.save_checkpoint(
                 self.checkpoint, self.truth, self.gpr, self.acquisition,

@@ -158,7 +158,10 @@ def test_runner_starvation_skips_eval_and_gives_up(rng):
     runner = Runner(loglike, bounds=m.bounds, seed=2, verbose=0,
                     options={"max_total": 40, "max_initial": 20,
                              "n_points_per_acq": 4,
-                             "n_resamples_before_giveup": 2},
+                             "n_resamples_before_giveup": 2,
+                             # reference give-up semantics (no Sobol
+                             # exploration fallback)
+                             "max_starved_explore": 0},
                     convergence_criterion="DontConverge")
 
     force_flags = []
@@ -184,7 +187,116 @@ def test_runner_starvation_skips_eval_and_gives_up(rng):
     assert len(truth_calls) == n_truth_after_init
 
 
-def test_runner_tail_batch_not_starved(rng):
+def test_starved_exploration_batch_unit(rng):
+    """The Sobol exploration fallback must stay in bounds, extend one
+    persistent net across batches and resume, honor the budget, and be
+    disabled by max_starved_explore=0."""
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=23)
+    runner = Runner(m.loglike, bounds=m.bounds, seed=4, verbose=0,
+                    options={"max_total": 100, "max_initial": 20,
+                             "max_starved_explore": 10})
+    runner.do_initial_training()
+    X1 = runner._starved_exploration_batch(4)
+    assert X1.shape == (4, 2)
+    assert np.all(X1 >= m.bounds[:, 0]) and np.all(X1 <= m.bounds[:, 1])
+    X2 = runner._starved_exploration_batch(4)
+    # net extension: no repeats between successive batches
+    assert not np.any(np.all(np.isclose(X1[:, None], X2[None]), axis=-1))
+    # budget: 8 of 10 spent -> next batch is clipped to 2, then None
+    X3 = runner._starved_exploration_batch(4)
+    assert X3.shape == (2, 2)
+    assert runner._starved_exploration_batch(4) is None
+    # the persisted (seed, index) reproduce the same continuation
+    seed, idx = runner._explore_seed, 8
+    from scipy.stats import qmc
+    eng = qmc.Sobol(2, scramble=True, seed=seed)
+    eng.fast_forward(idx)
+    lo, hi = m.bounds[:, 0], m.bounds[:, 1]
+    assert np.allclose(lo + eng.random(2) * (hi - lo), X3)
+    # disabled -> None immediately
+    runner2 = Runner(m.loglike, bounds=m.bounds, seed=4, verbose=0,
+                     options={"max_initial": 20, "max_starved_explore": 0})
+    runner2.do_initial_training()
+    assert runner2._starved_exploration_batch(4) is None
+
+
+def test_runner_starved_explores_then_gives_up(rng):
+    """Once starvation retries are exhausted, the Runner must spend the
+    Sobol exploration budget (truth-evaluating the exploration batches,
+    convergence checks skipped) and only then give up."""
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=11)
+    truth_calls = []
+
+    def loglike(x):
+        truth_calls.append(np.copy(x))
+        return m.loglike(x)
+
+    runner = Runner(loglike, bounds=m.bounds, seed=2, verbose=0,
+                    options={"max_total": 60, "max_initial": 20,
+                             "n_points_per_acq": 4,
+                             "n_resamples_before_giveup": 2,
+                             "max_starved_explore": 8},
+                    convergence_criterion="DontConverge")
+
+    force_flags = []
+
+    class _StarvedAcq:
+        mean = None
+        cov = None
+
+        def multi_add(self, gpr, n_points=1, bounds=None, rng=None,
+                      force_resample=False):
+            force_flags.append(force_resample)
+            return (np.zeros((1, 2)), np.array([0.0]), np.array([0.0]))
+
+    conv_calls = []
+    orig_check = runner._check_convergence
+    runner._check_convergence = \
+        lambda *a, **k: (conv_calls.append(1), orig_check(*a, **k))[1]
+
+    runner.do_initial_training()
+    n_init = runner.gpr.n_total
+    n_truth_after_init = len(truth_calls)
+    runner.acquisition = _StarvedAcq()
+    runner._resumed = True
+    runner._run_main_loop()
+    # 2 retries, then 2 exploration batches of 4 (budget 8: starvation
+    # persists so each further starve explores immediately), then give up
+    assert force_flags == [False, True, True, True, True]
+    assert len(truth_calls) == n_truth_after_init + 8
+    assert runner.gpr.n_total == n_init + 8
+    assert runner._n_explored == 8
+    # convergence was never checked on exploration batches
+    assert conv_calls == []
+    assert not runner.has_converged
+
+
+def test_spike_found_by_exploration():
+    """The spike fixture (narrow spike on a broad base): every initial
+    point sees only the base, the acquisition is flat and starves, and
+    the reference gives up (it actually crashes in sklearn's SVC first).
+    The Sobol exploration fallback must locate the spike."""
+    from model_generator import spike
+
+    from gpry_tpu.run import Runner
+
+    m = spike()
+    base = np.log(1e-4)
+    runner = Runner(m.loglike, bounds=m.bounds, seed=10, verbose=0,
+                    options={"max_total": 100, "max_initial": 10,
+                             # 64 Sobol points over [-1,1]: net spacing
+                             # ~0.03 < the spike's ~0.09 signal width
+                             "n_initial": 3, "max_starved_explore": 64},
+                    convergence_criterion="DontConverge",
+                    gp_acquisition={"NORA": {"nlive_max": "25d",
+                                             "num_repeats": "2d"}})
+    runner.run()
+    # the spike (loglike >> base) is in the training set
+    assert float(np.max(runner.gpr.y_train)) > base + 1.0
     """A full return of a small TAIL batch (budget < n_points_per_acq)
     must NOT be classified as starvation: the points are truth-evaluated
     and no forced resample happens."""
