@@ -35,8 +35,9 @@ CURVED_INF_FLOOR = -150.0
 
 
 def _fixtures(seed):
-    from model_generator import (curved_degeneracy, himmelblau, loggaussian,
-                                 ring, rosenbrock, spike)
+    from model_generator import (curved_degeneracy, flat_base_spike,
+                                 himmelblau, loggaussian, ring, rosenbrock,
+                                 spike)
     return [
         loggaussian(d=4, d_log=2, rng=seed),
         curved_degeneracy(inf_floor=CURVED_INF_FLOOR),
@@ -44,6 +45,7 @@ def _fixtures(seed):
         himmelblau(),
         rosenbrock(),
         spike(),
+        flat_base_spike(),
     ]
 
 

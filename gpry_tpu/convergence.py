@@ -218,7 +218,8 @@ class CorrectCounter(ConvergenceCriterion):
 class GaussianKL(ConvergenceCriterion):
     """
     KL divergence between Gaussian approximations of consecutive surrogate
-    posteriors below ``limit`` (2e-2) for ``limit_times`` (d) consecutive
+    posteriors below ``limit`` (2e-2) for ``limit_times`` (max(2, d))
+    consecutive
     checks (reference: gpry/convergence.py:258-540).
 
     Mean/cov come from the acquisition engine's last MC sample (NORA), or
@@ -231,7 +232,14 @@ class GaussianKL(ConvergenceCriterion):
         params = params or {}
         super().__init__(prior_bounds, params)
         self.limit_value = float(params.get("limit", 2e-2))
-        self.limit_times = int(params.get("limit_times", self.d))
+        # Default max(2, d), not the reference's bare d: its own code
+        # comments that the count "needs to at least encompass 2 full MC
+        # samples" (reference: gpry/convergence.py:302, a standing TODO
+        # there).  At d=1 the reference default lets a SINGLE stable-KL
+        # check declare convergence mid-climb (observed on the 1-D
+        # flat-base spike fixture: converged at 11 evals with the spike
+        # top still unlearned).  An explicit user value is honored as-is.
+        self.limit_times = int(params.get("limit_times", max(2, self.d)))
         self.n_steps = int(params.get(
             "n_draws_per_dimsquared", 10) * self.d ** 2)
         # reject mean/cov from unconverged fallback MCMC (split-R-hat gate;

@@ -39,24 +39,38 @@ class Progress:
     def add_acquisition(self, timer):
         self._add_timed("acquire", timer)
 
-    def add_truth(self, timer, n_evals=None):
-        self._add_timed("truth", timer, n_evals)
+    def add_truth(self, timer, n_evals=None, accumulate=False):
+        self._add_timed("truth", timer, n_evals, accumulate)
 
-    def add_fit(self, timer):
-        self._add_timed("fit", timer)
+    def add_fit(self, timer, accumulate=False):
+        self._add_timed("fit", timer, accumulate=accumulate)
 
     def add_convergence(self, timer, value=np.nan):
         self._add_timed("convergence", timer)
         self.data.iloc[-1, self.data.columns.get_loc(
             "convergence_crit_value")] = value
 
-    def _add_timed(self, phase, timer, n_evals=None):
-        self.data.iloc[-1, self.data.columns.get_loc(f"time_{phase}")] = \
-            timer.time
+    def _add_timed(self, phase, timer, n_evals=None, accumulate=False):
+        # accumulate=True sums into the current iteration's row (a phase
+        # that legitimately runs twice in one iteration, e.g. the
+        # flat-surrogate exploration refit after the main fit)
+        tcol = self.data.columns.get_loc(f"time_{phase}")
+        ecol = self.data.columns.get_loc(f"evals_{phase}")
         evals = n_evals if n_evals is not None else \
             getattr(timer, "evals", np.nan)
-        self.data.iloc[-1, self.data.columns.get_loc(f"evals_{phase}")] = \
-            evals
+        if accumulate:
+            prev_t = self.data.iloc[-1, tcol]
+            prev_e = self.data.iloc[-1, ecol]
+            if np.isfinite(prev_t):
+                self.data.iloc[-1, tcol] = prev_t + timer.time
+            else:
+                self.data.iloc[-1, tcol] = timer.time
+            if np.isfinite(prev_e) and np.isfinite(evals):
+                evals = prev_e + evals
+            self.data.iloc[-1, ecol] = evals
+            return
+        self.data.iloc[-1, tcol] = timer.time
+        self.data.iloc[-1, ecol] = evals
 
     def mpi_sync(self):
         """No-op (single-controller); kept for API parity."""

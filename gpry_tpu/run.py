@@ -590,6 +590,35 @@ class Runner:
 
             self.update_mean_cov()
 
+            # Flat-surrogate convergence veto: a surrogate with (almost) no
+            # dynamic range trivially "predicts" every acquired point right
+            # (the spike fixture: every point sees only the broad base), so
+            # CorrectCounter can declare convergence on a posterior the run
+            # never actually learned.  Before accepting it, spend the Sobol
+            # exploration budget hunting for missed structure; a genuinely
+            # flat likelihood just spends the (bounded) budget and then
+            # converges to the uniform posterior it deserves.
+            if self.has_converged and self._surrogate_is_flat():
+                exp_X = self._starved_exploration_batch(
+                    max(n_points, self.n_initial))
+                if exp_X is not None and len(exp_X):
+                    self.has_converged = False
+                    self.log("[EXPLORATION] convergence declared on a FLAT "
+                             "surrogate (training span < "
+                             f"{self.flat_span} log units): vetoed; "
+                             f"exploring {len(exp_X)} Sobol points "
+                             f"({self._n_explored}/"
+                             f"{self.max_starved_explore} budget spent)",
+                             _VERBOSITY_WARN)
+                    with Timer() as timer_truth:
+                        exp_y = self.executor.logp_batch(exp_X)
+                    self.progress.add_truth(timer_truth, n_evals=len(exp_X),
+                                            accumulate=True)
+                    with TimerCounter(self.gpr) as timer_fit:
+                        self._fit_gpr(exp_X, exp_y)
+                    self.progress.add_fit(timer_fit, accumulate=True)
+                    self._touch_liveness()
+
             # [MC+DIAGNOSIS] on declared convergence
             if self.has_converged:
                 # persist the converged state BEFORE the (crash-prone on
@@ -626,6 +655,20 @@ class Runner:
                 except Exception as excpt:
                     self.log(f"Final MC failed: {excpt}", _VERBOSITY_ERROR)
         return self
+
+    #: training-value span (in log-posterior units) below which the
+    #: surrogate counts as "flat" for the exploration-before-convergence
+    #: veto: any real posterior structure inside the prior box spans many
+    #: e-folds, while a structureless base varies by noise only.
+    flat_span = 1.0
+
+    def _surrogate_is_flat(self):
+        """True when the finite training values span less than
+        ``flat_span`` log units — the surrogate carries (almost) no
+        information about where the posterior mass is."""
+        y = self.gpr.y_train
+        return len(y) > 0 and \
+            float(np.max(y) - np.min(y)) < self.flat_span
 
     def _starved_exploration_batch(self, n_points):
         """Last-resort space-filling exploration after exhausted

@@ -132,16 +132,36 @@ def rosenbrock(a=1.0, b=100.0, rng=None):
     return SyntheticModel(loglike, bounds, name="rosenbrock")
 
 
-def spike(rng=None):
-    """Narrow spike on a broad base
-    (reference: tests/model_generator.py:258)."""
+def spike(d=2, a=100.0, b=2.0, rng=None):
+    """Broad Gaussian mode with a narrow near-equal-height spike at
+    ``x_i = b`` in every dimension — the reference's actual Spike fixture
+    (reference: tests/model_generator.py:258-291):
+    ``chi2_i = -2 log(exp(-x^2) + (1 - exp(-b^2)) exp(-a (x - b)^2))``."""
+
+    def loglike(x):
+        x_ = np.atleast_1d(x)
+        chi2 = -2.0 * np.log(np.exp(-x_ ** 2)
+                             + (1.0 - np.exp(-b * b))
+                             * np.exp(-a * (x_ - b) ** 2))
+        return float(-0.5 * np.sum(chi2))
+
+    bounds = np.array([[-4.0, 4.0]] * d)
+    return SyntheticModel(loglike, bounds, name="spike")
+
+
+def flat_base_spike(rng=None):
+    """Narrow spike on a NEAR-FLAT broad base — a harder-than-reference
+    stress fixture (no acquisition signal anywhere outside ~2% of the
+    prior box; the reference crashes on targets like this in sklearn's
+    SVC and otherwise gives up on starvation, gpry/run.py:885-911).
+    Exercises the Sobol exploration fallback + flat-convergence veto."""
 
     def loglike(x):
         x_ = np.atleast_1d(x)[0]
         return float(np.log(1e-4 + np.exp(-0.5 * (x_ / 0.01) ** 2)))
 
     bounds = np.array([[-1.0, 1.0]])
-    return SyntheticModel(loglike, bounds, name="spike")
+    return SyntheticModel(loglike, bounds, name="flat_base_spike")
 
 
 def kl_truth_gaussian(samples_X, weights, mean_true, cov_true):

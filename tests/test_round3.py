@@ -275,16 +275,62 @@ def test_runner_starved_explores_then_gives_up(rng):
     assert not runner.has_converged
 
 
+def test_flat_convergence_vetoed_until_explore_budget_spent():
+    """Convergence declared on a FLAT surrogate (training span <
+    flat_span) must be vetoed and the Sobol exploration budget spent
+    first; once the budget is exhausted a (genuinely) flat posterior is
+    allowed to converge."""
+    from gpry_tpu.run import Runner
+
+    bounds = np.array([[-1.0, 1.0]] * 2)
+    explored_before_accept = []
+
+    # a GENTLY sloped target (span 0.02 << flat_span): the surrogate is
+    # flat but the (stubbed) acquisition keeps proposing full batches,
+    # so only the flat veto stands between declaration and acceptance
+    runner = Runner(lambda x: 0.01 * float(np.atleast_1d(x)[0]),
+                    bounds=bounds, seed=6, verbose=0,
+                    options={"max_total": 60, "max_initial": 20,
+                             "n_initial": 4, "n_points_per_acq": 2,
+                             "max_starved_explore": 6},
+                    convergence_criterion="DontConverge")
+
+    class _FullBatchAcq:
+        mean = None
+        cov = None
+        _i = 0
+
+        def multi_add(self, gpr, n_points=1, bounds=None, rng=None,
+                      force_resample=False):
+            X = 1e-4 * (np.arange(n_points)[:, None] + 1) \
+                * np.ones((1, 2)) + 1e-3 * type(self)._i
+            type(self)._i += 1
+            return X, np.zeros(n_points), np.zeros(n_points)
+
+    runner._check_convergence = lambda *a, **k: (True, 0.0)
+    orig_mc = runner.generate_mc_sample
+    runner.generate_mc_sample = lambda *a, **k: (
+        explored_before_accept.append(runner._n_explored), orig_mc(*a, **k))[1]
+    runner.do_initial_training()
+    runner.acquisition = _FullBatchAcq()
+    runner._resumed = True
+    runner._run_main_loop()
+    assert runner.has_converged
+    # the exploration budget was fully spent BEFORE the MC/acceptance
+    assert runner._n_explored == 6
+    assert explored_before_accept[0] == 6
+
+
 def test_spike_found_by_exploration():
     """The spike fixture (narrow spike on a broad base): every initial
     point sees only the base, the acquisition is flat and starves, and
     the reference gives up (it actually crashes in sklearn's SVC first).
     The Sobol exploration fallback must locate the spike."""
-    from model_generator import spike
+    from model_generator import flat_base_spike
 
     from gpry_tpu.run import Runner
 
-    m = spike()
+    m = flat_base_spike()
     base = np.log(1e-4)
     runner = Runner(m.loglike, bounds=m.bounds, seed=10, verbose=0,
                     options={"max_total": 100, "max_initial": 10,
@@ -660,10 +706,11 @@ def test_check_candidates_empty_batch():
     assert dup.shape == (0,)
 
 
-def test_runner_flat_target_gives_up_gracefully(rng):
+def test_runner_flat_target_explores_and_converges(rng):
     """A spike-on-flat-base target (no acquisition signal from the initial
-    points) must give up via the starvation policy and still produce a
-    final MC sample — not crash (the reference raises on this fixture)."""
+    points): the reference crashes on this fixture; with the Sobol
+    exploration fallback + flat-convergence veto the run must FIND the
+    spike, converge on it, and produce a final MC sample."""
     from gpry_tpu.run import Runner
 
     def loglike(x):
@@ -673,7 +720,10 @@ def test_runner_flat_target_gives_up_gracefully(rng):
     runner = Runner(loglike, bounds=np.array([[-1.0, 1.0]]), seed=100,
                     verbose=1, gp_acquisition={"NORA": {}})
     runner.run()
-    assert not runner.has_converged
+    # logpost includes the uniform prior constant -log(2)
+    base = np.log(1e-4) - np.log(2.0)
+    assert float(np.max(runner.gpr.y_train)) > base + 2.0
+    assert runner.has_converged
     assert runner.last_mc_result is not None
 
 
