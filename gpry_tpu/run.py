@@ -71,6 +71,12 @@ class Runner:
         # _runtime dict so a resumed run continues the same Sobol net.
         self._n_explored = 0
         self._explore_seed = None
+        # True once exploration ever fired while the surrogate was FLAT:
+        # such a run was blind at some point, so convergence is not
+        # accepted until the whole Sobol net is spent (the net's
+        # resolution is the insurance against a structure the blind
+        # phase may have only grazed, e.g. a spike's tail).
+        self._flat_explored = False
 
         # -- checkpoint resume -------------------------------------------------
         resuming = False
@@ -122,6 +128,8 @@ class Runner:
                     self.rng.bit_generator.state = rng_state
                 self._n_explored = int(runtime.get("n_explored", 0))
                 self._explore_seed = runtime.get("explore_seed")
+                self._flat_explored = bool(
+                    runtime.get("flat_explored", False))
             self._load_options(self.options)
             # Re-link the single RNG stream into components that drop
             # theirs on pickling.
@@ -523,6 +531,8 @@ class Runner:
             if len(new_X) < max(1, n_points // 2):
                 self.resamples += 1
                 if self.resamples > self.n_resamples_before_giveup:
+                    if self._surrogate_is_flat():
+                        self._flat_explored = True
                     # explore in initial-training-sized batches: the
                     # points are uninformed anyway, and batching amortizes
                     # the per-iteration NS + refit cost
@@ -598,15 +608,21 @@ class Runner:
             # exploration budget hunting for missed structure; a genuinely
             # flat likelihood just spends the (bounded) budget and then
             # converges to the uniform posterior it deserves.
-            if self.has_converged and self._surrogate_is_flat():
+            if self.has_converged and (self._surrogate_is_flat()
+                                       or self._flat_explored):
+                if self._surrogate_is_flat():
+                    self._flat_explored = True
                 exp_X = self._starved_exploration_batch(
                     max(n_points, self.n_initial))
                 if exp_X is not None and len(exp_X):
                     self.has_converged = False
-                    self.log("[EXPLORATION] convergence declared on a FLAT "
-                             "surrogate (training span < "
-                             f"{self.flat_span} log units): vetoed; "
-                             f"exploring {len(exp_X)} Sobol points "
+                    why = ("on a FLAT surrogate (training span < "
+                           f"{self.flat_span} log units)"
+                           if self._surrogate_is_flat() else
+                           "after a blind (flat-surrogate) exploration "
+                           "phase with Sobol budget left")
+                    self.log(f"[EXPLORATION] convergence declared {why}: "
+                             f"vetoed; exploring {len(exp_X)} Sobol points "
                              f"({self._n_explored}/"
                              f"{self.max_starved_explore} budget spent)",
                              _VERBOSITY_WARN)
@@ -988,6 +1004,7 @@ class Runner:
                 "rng_state": self.rng.bit_generator.state,
                 "n_explored": int(self._n_explored),
                 "explore_seed": self._explore_seed,
+                "flat_explored": bool(self._flat_explored),
             }
             gio.save_checkpoint(
                 self.checkpoint, self.truth, self.gpr, self.acquisition,
