@@ -6,12 +6,14 @@ config 4), Ring, Himmelblau, Rosenbrock, Spike.
 
 Metric: there is no analytic posterior for most of these, so accuracy is a
 moments-level comparison — the symmetric Gaussian-KL between the moments of
-(a) the surrogate's final MC sample and (b) a "ground truth" MC sample
-drawn by the same ensemble-MH sampler directly on the true log-likelihood
-(cheap for these synthetic fixtures).  Both samples use the identical
-sampler (benchmarks/parity.py:mh_sample_surrogate), so estimator bias
-cancels.  For the curved+SVM fixture the reference engine is also run
-head-to-head (VERDICT round-2 item 3).
+the surrogate's final MC sample and a ground truth.  For d <= 2 fixtures
+the ground-truth moments are EXACT (dense-grid quadrature): an MH sample
+is a noisy and, on well-separated multimodal targets (Himmelblau, Spike),
+poorly-mixed reference.  Above d=2 the ground truth is an MC sample drawn
+by the same ensemble-MH sampler on the true log-likelihood
+(benchmarks/parity.py:mh_sample_surrogate — identical sampler on both
+sides, so estimator bias cancels).  For the curved+SVM fixture the
+reference engine is also run head-to-head (VERDICT round-2 item 3).
 
 Usage: python benchmarks/nongaussian.py [--seeds 100,101,102]
 Writes benchmarks/results_nongaussian.json.
@@ -68,6 +70,43 @@ def truth_sample(model, seed):
                                n_walkers=64, n_steps=6000)
 
 
+def truth_moments_grid(model, n_1d=100_001, n_2d=1001):
+    """EXACT posterior moments by dense-grid quadrature (d <= 2 only).
+
+    MH ground truth is itself noisy, and on well-separated multimodal
+    targets (Himmelblau's 4 modes, Spike's broad+narrow pair) the chains
+    mix between modes too rarely for stable mode weights — quadrature
+    removes the reference's own error from the metric entirely.
+    """
+    b = model.bounds
+    if model.d == 1:
+        X = np.linspace(b[0, 0], b[0, 1], n_1d)[:, None]
+    elif model.d == 2:
+        g0 = np.linspace(b[0, 0], b[0, 1], n_2d)
+        g1 = np.linspace(b[1, 0], b[1, 1], n_2d)
+        X = np.stack(np.meshgrid(g0, g1, indexing="ij"),
+                     axis=-1).reshape(-1, 2)
+    else:
+        raise ValueError("grid quadrature only for d <= 2")
+    logp = np.array([model.loglike(x) for x in X])
+    logp -= np.max(logp[np.isfinite(logp)])
+    w = np.where(np.isfinite(logp), np.exp(logp), 0.0)
+    w /= w.sum()
+    mean = w @ X
+    diff = X - mean
+    cov = (w[:, None] * diff).T @ diff
+    return mean, np.atleast_2d(cov)
+
+
+def moments_kl_vs_exact(Xa, wa, mean_t, cov_t):
+    """Symmetric Gaussian-KL between a weighted sample's moments and
+    exact (quadrature) moments."""
+    from gpry_tpu.utils.tools import kl_norm, mean_covmat_from_samples
+    ma, Ca = mean_covmat_from_samples(Xa, wa)
+    return float(max(kl_norm(ma, Ca, mean_t, cov_t),
+                     kl_norm(mean_t, cov_t, ma, Ca)))
+
+
 def run_repo_nora(model, seed, verbose=1):
     """This repo's Runner with the production NORA engine + device NS MC."""
     from gpry_tpu.run import Runner
@@ -98,7 +137,14 @@ def run_battery(seeds=(100, 101, 102), verbose=1, with_reference=True,
             if only and not any(model.name.startswith(o) for o in only):
                 continue
             print(f"--- {model.name} seed={seed} ...", flush=True)
-            Xt, wt = truth_sample(model, seed)
+            if model.d <= 2:
+                mt, ct = truth_moments_grid(model)
+                kl_of = lambda X, w: moments_kl_vs_exact(X, w, mt, ct)
+                truth_kind = "grid_quadrature"
+            else:
+                Xt, wt = truth_sample(model, seed)
+                kl_of = lambda X, w: moments_kl(X, w, Xt, wt)
+                truth_kind = "ensemble_mh"
             try:
                 res = run_repo_nora(model, seed, verbose=verbose)
             except Exception as excpt:
@@ -109,8 +155,8 @@ def run_battery(seeds=(100, 101, 102), verbose=1, with_reference=True,
                 continue
             mcX, mcw = res.pop("mc_X"), res.pop("mc_w")
             res.update({
-                "fixture": model.name, "seed": seed,
-                "moments_kl_vs_truth": moments_kl(mcX, mcw, Xt, wt),
+                "fixture": model.name, "seed": seed, "truth": truth_kind,
+                "moments_kl_vs_truth": kl_of(mcX, mcw),
             })
             rows.append(res)
             print(f"    {res['engine']}: converged={res['converged']} "
@@ -127,7 +173,8 @@ def run_battery(seeds=(100, 101, 102), verbose=1, with_reference=True,
                                                  rng_mc)
                     ref.update({
                         "fixture": model.name, "seed": seed,
-                        "moments_kl_vs_truth": moments_kl(Xs, ws, Xt, wt),
+                        "truth": truth_kind,
+                        "moments_kl_vs_truth": kl_of(Xs, ws),
                     })
                     rows.append(ref)
                     print(f"    reference: converged={ref['converged']} "
