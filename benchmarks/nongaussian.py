@@ -129,6 +129,10 @@ def run_repo_nora(model, seed, verbose=1):
     }
 
 
+#: grid-quadrature moments memo — the d<=2 fixtures are seed-independent
+_GRID_MOMENTS = {}
+
+
 def run_battery(seeds=(100, 101, 102), verbose=1, with_reference=True,
                 only=None):
     rows = []
@@ -138,7 +142,9 @@ def run_battery(seeds=(100, 101, 102), verbose=1, with_reference=True,
                 continue
             print(f"--- {model.name} seed={seed} ...", flush=True)
             if model.d <= 2:
-                mt, ct = truth_moments_grid(model)
+                if model.name not in _GRID_MOMENTS:
+                    _GRID_MOMENTS[model.name] = truth_moments_grid(model)
+                mt, ct = _GRID_MOMENTS[model.name]
                 kl_of = lambda X, w: moments_kl_vs_exact(X, w, mt, ct)
                 truth_kind = "grid_quadrature"
             else:
