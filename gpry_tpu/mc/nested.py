@@ -313,7 +313,7 @@ def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
                       num_repeats=10, precision_criterion=0.01,
                       max_dead=5000, kill_batch=None, mesh=None,
                       n_prior=None, max_steps_per_call=None,
-                      on_segment=None):
+                      on_segment=None, lookahead=None):
     """
     Run nested sampling on device.  ``logl_fn(params, X)`` is a jittable
     ``(nq, d) -> (nq,)`` log-density (e.g. the gated surrogate mean); it must
@@ -343,6 +343,17 @@ def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
     runtime/tunnel watchdogs (observed live on d=16 final-MC runs: "TPU
     worker process crashed or restarted"); pass ``0``/``None``-like large
     values to restore single-program behavior.
+
+    ``lookahead`` (default: ``GPRY_TPU_NS_SEG_LOOKAHEAD`` env var, else 2)
+    pipelines segment dispatch: up to ``lookahead`` segments are enqueued
+    on the device before the host reads their ``done`` flags, so the
+    device queue never drains while the host waits out a tunnel round
+    trip.  This is sound because a segment entered on a finished state is
+    an exact no-op (``outer_cond`` is already false, the while_loop exits
+    immediately and returns the state unchanged), so overshooting by up to
+    ``lookahead`` segments costs only empty program launches and the final
+    state is bit-identical to unpipelined execution.  ``0`` restores
+    strict dispatch-then-wait behavior.
     """
     import os
 
@@ -361,14 +372,22 @@ def run_nested_device(logl_fn, params, key, lo, hi, nlive=200,
     seg = total_steps if max_steps_per_call <= 0 \
         else min(total_steps, max_steps_per_call)
 
+    if lookahead is None:
+        lookahead = int(os.environ.get("GPRY_TPU_NS_SEG_LOOKAHEAD", 2))
+    lookahead = max(0, int(lookahead))
+
     state = _ns_init(logl_fn, params, key, lo, hi, nlive=nlive,
                      n_prior=n_prior, max_dead=max_dead)
+    pending = []                   # FIFO of not-yet-read device done flags
     while True:
         state, done = _ns_segment(
             logl_fn, params, state, lo, hi, precision_criterion,
             nlive=nlive, num_repeats=int(num_repeats), max_dead=max_dead,
             kill_batch=B, mesh=mesh, n_prior=n_prior, seg_steps=seg)
-        done = bool(done)          # blocks until the segment finished
+        pending.append(done)
+        if len(pending) <= lookahead:
+            continue               # keep the device queue primed
+        done = bool(pending.pop(0))  # blocks until THAT segment finished
         if on_segment is not None:
             # liveness hook: the segment has completed on device, so
             # external watchdogs can treat this as proof of forward

@@ -64,15 +64,19 @@ def test_ns_segmented_identical_to_single_program():
     params = (jnp.full(d, 0.35), 0.07)
     res_one = run_nested_device(_gauss_logl, params, jax.random.PRNGKey(7),
                                 lo, hi, max_steps_per_call=0, **kw)
-    res_seg = run_nested_device(_gauss_logl, params, jax.random.PRNGKey(7),
-                                lo, hi, max_steps_per_call=3, **kw)
-    assert int(res_one.n_dead) == int(res_seg.n_dead)
-    assert int(res_one.n_calls) == int(res_seg.n_calls)
-    np.testing.assert_array_equal(np.asarray(res_one.X),
-                                  np.asarray(res_seg.X))
-    np.testing.assert_array_equal(np.asarray(res_one.logw),
-                                  np.asarray(res_seg.logw))
-    assert float(res_one.logZ) == float(res_seg.logZ)
+    # strict dispatch-then-wait, and speculative pipelined dispatch (extra
+    # no-op segments enqueued past completion) must both be bit-identical
+    for la in (0, 3):
+        res_seg = run_nested_device(
+            _gauss_logl, params, jax.random.PRNGKey(7), lo, hi,
+            max_steps_per_call=3, lookahead=la, **kw)
+        assert int(res_one.n_dead) == int(res_seg.n_dead)
+        assert int(res_one.n_calls) == int(res_seg.n_calls)
+        np.testing.assert_array_equal(np.asarray(res_one.X),
+                                      np.asarray(res_seg.X))
+        np.testing.assert_array_equal(np.asarray(res_one.logw),
+                                      np.asarray(res_seg.logw))
+        assert float(res_one.logZ) == float(res_seg.logZ)
 
 
 def test_mcmc_gaussian_moments():
