@@ -53,20 +53,15 @@ def _fixtures(seed):
 
 def moments_kl(Xa, wa, Xb, wb):
     """Symmetric Gaussian-KL between the moments of two weighted samples."""
-    from gpry_tpu.utils.tools import kl_norm, mean_covmat_from_samples
-    ma, Ca = mean_covmat_from_samples(Xa, wa)
-    mb, Cb = mean_covmat_from_samples(Xb, wb)
-    return float(max(kl_norm(ma, Ca, mb, Cb), kl_norm(mb, Cb, ma, Ca)))
+    from gpry_tpu.utils.tools import mean_covmat_from_samples
+    return moments_kl_vs_exact(Xa, wa, *mean_covmat_from_samples(Xb, wb))
 
 
 def truth_sample(model, seed):
     """Ground-truth ensemble-MH sample on the true loglike."""
 
-    def logp_batch(X):
-        return np.array([model.loglike(x) for x in np.atleast_2d(X)])
-
     rng = np.random.default_rng(77_000 + seed)
-    return mh_sample_surrogate(logp_batch, model.bounds, rng,
+    return mh_sample_surrogate(model.loglike_batch, model.bounds, rng,
                                n_walkers=64, n_steps=6000)
 
 
@@ -88,7 +83,7 @@ def truth_moments_grid(model, n_1d=100_001, n_2d=1001):
                      axis=-1).reshape(-1, 2)
     else:
         raise ValueError("grid quadrature only for d <= 2")
-    logp = np.array([model.loglike(x) for x in X])
+    logp = model.loglike_batch(X)
     logp -= np.max(logp[np.isfinite(logp)])
     w = np.where(np.isfinite(logp), np.exp(logp), 0.0)
     w /= w.sum()

@@ -65,8 +65,12 @@ class Progress:
                 self.data.iloc[-1, tcol] = prev_t + timer.time
             else:
                 self.data.iloc[-1, tcol] = timer.time
+            # sum when both are finite; otherwise keep whichever is
+            # finite (a NaN second call must not erase a recorded count)
             if np.isfinite(prev_e) and np.isfinite(evals):
                 evals = prev_e + evals
+            elif np.isfinite(prev_e):
+                evals = prev_e
             self.data.iloc[-1, ecol] = evals
             return
         self.data.iloc[-1, tcol] = timer.time

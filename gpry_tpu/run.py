@@ -70,6 +70,7 @@ class Runner:
         # _starved_exploration_batch); persisted in the checkpoint's
         # _runtime dict so a resumed run continues the same Sobol net.
         self._n_explored = 0
+        self._explore_net_i = 0
         self._explore_seed = None
         # True once exploration ever fired while the surrogate was FLAT:
         # such a run was blind at some point, so convergence is not
@@ -127,6 +128,9 @@ class Runner:
                 if rng_state is not None and seed is None:
                     self.rng.bit_generator.state = rng_state
                 self._n_explored = int(runtime.get("n_explored", 0))
+                # pre-split checkpoints stored one counter doing both jobs
+                self._explore_net_i = int(
+                    runtime.get("explore_net_i", self._n_explored))
                 self._explore_seed = runtime.get("explore_seed")
                 self._flat_explored = bool(
                     runtime.get("flat_explored", False))
@@ -286,7 +290,15 @@ class Runner:
         self.fit_simple_every = options["fit_simple_every"]
         self.n_resamples_before_giveup = \
             options["n_resamples_before_giveup"]
-        self.max_starved_explore = options.get("max_starved_explore", 0)
+        # backfill for checkpoints written before the exploration
+        # fallback existed: use the live default ("32d"), not 0, so a
+        # resumed pre-feature run still gets the starvation/veto guards
+        if "max_starved_explore" in options:
+            self.max_starved_explore = options["max_starved_explore"]
+        else:
+            self.max_starved_explore = get_Xnumber(
+                "32d", "d", self.d, dtype=int,
+                varname="max_starved_explore")
         if self.n_initial <= 0:
             raise ValueError("n_initial must be > 0.")
         if self.max_initial < self.n_initial:
@@ -539,8 +551,20 @@ class Runner:
                     new_X = self._starved_exploration_batch(
                         max(n_points, self.n_initial))
                     if new_X is None or len(new_X) == 0:
+                        if not self.max_starved_explore:
+                            why = ("exploration disabled "
+                                   "(max_starved_explore=0)")
+                        elif self._n_explored >= self.max_starved_explore \
+                                or not self.n_total_left:
+                            why = (f"exploration budget spent "
+                                   f"({self._n_explored}"
+                                   f"/{self.max_starved_explore})")
+                        else:
+                            why = ("the exploration net found no new "
+                                   "points (saturated bounds)")
                         self.log("Acquisition returning no values after "
-                                 f"{self.resamples - 1} re-tries. Giving up.",
+                                 f"{self.n_resamples_before_giveup} re-tries "
+                                 f"and {why}. Giving up.",
                                  _VERBOSITY_ERROR)
                         break
                     explored_batch = True
@@ -713,18 +737,38 @@ class Runner:
         if self._explore_seed is None:
             self._explore_seed = int(self.rng.integers(2 ** 31 - 1))
         eng = qmc.Sobol(self.d, scramble=True, seed=self._explore_seed)
-        if self._n_explored:
-            eng.fast_forward(self._n_explored)
+        if self._explore_net_i:
+            eng.fast_forward(self._explore_net_i)
         import warnings
-        with warnings.catch_warnings():
-            # non-power-of-two draws are fine: the net keeps extending
-            warnings.simplefilter("ignore", UserWarning)
-            u = eng.random(n)
-        self._n_explored += n
         lo, hi = self.prior_bounds[:, 0], self.prior_bounds[:, 1]
-        X = lo + u * (hi - lo)
-        dup = check_candidates(self.gpr.X_train, X)
-        return X[~dup]
+        # Budget (_n_explored, counts points actually returned for truth
+        # evaluation) is separate from the net position (_explore_net_i):
+        # points skipped as duplicates of existing training points advance
+        # the net but cost nothing.  Redraw until the batch is full so an
+        # (extremely rare) all-duplicate draw cannot masquerade as an
+        # exhausted budget; bounded rounds guard a saturated net.
+        out = []
+        got = 0
+        for _ in range(8):
+            if got >= n:
+                break
+            with warnings.catch_warnings():
+                # non-power-of-two draws are fine: the net keeps extending
+                warnings.simplefilter("ignore", UserWarning)
+                u = eng.random(n - got)
+            self._explore_net_i += len(u)
+            X = lo + u * (hi - lo)
+            seen = self.gpr.X_train_all
+            if out:
+                seen = np.concatenate([seen] + out, axis=0)
+            X = X[~check_candidates(seen, X)]
+            if len(X):
+                out.append(X)
+                got += len(X)
+        if not out:
+            return np.empty((0, self.d))
+        self._n_explored += got
+        return np.concatenate(out, axis=0)
 
     def do_initial_training(self):
         """
@@ -1003,6 +1047,7 @@ class Runner:
                 "has_converged": bool(self.has_converged),
                 "rng_state": self.rng.bit_generator.state,
                 "n_explored": int(self._n_explored),
+                "explore_net_i": int(self._explore_net_i),
                 "explore_seed": self._explore_seed,
                 "flat_explored": bool(self._flat_explored),
             }

@@ -9,14 +9,21 @@ from scipy.stats import invwishart
 
 
 class SyntheticModel:
-    """A log-likelihood callable with bounds and (if known) mean/cov."""
+    """A log-likelihood callable with bounds and (if known) mean/cov.
 
-    def __init__(self, loglike, bounds, mean=None, cov=None, name=None):
+    ``loglike_vec``, when provided, evaluates a whole (N, d) batch to an
+    (N,) array — used by benchmark ground-truth quadrature/sampling to
+    avoid per-row Python overhead.
+    """
+
+    def __init__(self, loglike, bounds, mean=None, cov=None, name=None,
+                 loglike_vec=None):
         self.loglike = loglike
         self.bounds = np.asarray(bounds, dtype=float)
         self.mean = mean
         self.cov = cov
         self.name = name or "synthetic"
+        self.loglike_vec = loglike_vec
 
     @property
     def d(self):
@@ -24,6 +31,13 @@ class SyntheticModel:
 
     def __call__(self, x):
         return self.loglike(np.asarray(x))
+
+    def loglike_batch(self, X):
+        """(N, d) -> (N,), vectorized when the fixture provides it."""
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        if self.loglike_vec is not None:
+            return np.asarray(self.loglike_vec(X), dtype=float)
+        return np.array([self.loglike(x) for x in X], dtype=float)
 
 
 def random_gaussian(d=2, prior_size_in_std=5.0, rng=None):
@@ -45,8 +59,12 @@ def random_gaussian(d=2, prior_size_in_std=5.0, rng=None):
         diff = np.atleast_1d(x) - mean
         return float(-0.5 * diff @ inv @ diff)
 
+    def loglike_vec(X):
+        diff = np.atleast_2d(X) - mean
+        return -0.5 * np.einsum("ni,ij,nj->n", diff, inv, diff)
+
     return SyntheticModel(loglike, bounds, mean=mean, cov=cov,
-                          name=f"gaussian_d{d}")
+                          name=f"gaussian_d{d}", loglike_vec=loglike_vec)
 
 
 def loggaussian(d=4, d_log=2, prior_size_in_std=5.0, rng=None):
@@ -75,7 +93,14 @@ def loggaussian(d=4, d_log=2, prior_size_in_std=5.0, rng=None):
         diff = z - mean
         return float(log_norm - 0.5 * diff @ inv @ diff)
 
-    return SyntheticModel(loglike, bounds, name=f"loggaussian_d{d}")
+    def loglike_vec(X):
+        Z = np.array(np.atleast_2d(X), dtype=float)
+        Z[:, :d_log] = 10.0 ** Z[:, :d_log]
+        diff = Z - mean
+        return log_norm - 0.5 * np.einsum("ni,ij,nj->n", diff, inv, diff)
+
+    return SyntheticModel(loglike, bounds, name=f"loggaussian_d{d}",
+                          loglike_vec=loglike_vec)
 
 
 def curved_degeneracy(rng=None, inf_floor=None):
@@ -92,9 +117,19 @@ def curved_degeneracy(rng=None, inf_floor=None):
             return -np.inf
         return val
 
+    def loglike_vec(X):
+        X = np.atleast_2d(X)
+        x_, y_ = X[:, 0], X[:, 1]
+        val = (-(10 * (0.45 - x_)) ** 2 / 4
+               - (20 * (y_ / 4 - x_ ** 4)) ** 2)
+        if inf_floor is not None:
+            val = np.where(val < inf_floor, -np.inf, val)
+        return val
+
     bounds = np.array([[-0.5, 1.5], [-0.5, 2.0]])
     name = "curved_degeneracy" + ("" if inf_floor is None else "_inf")
-    return SyntheticModel(loglike, bounds, name=name)
+    return SyntheticModel(loglike, bounds, name=name,
+                          loglike_vec=loglike_vec)
 
 
 def ring(mean_radius=1.0, std=0.05, offset=0.0, rng=None):
@@ -105,8 +140,14 @@ def ring(mean_radius=1.0, std=0.05, offset=0.0, rng=None):
         r = np.sqrt((x_ - offset) ** 2 + y_ ** 2)
         return float(-0.5 * ((r - mean_radius) / std) ** 2)
 
+    def loglike_vec(X):
+        X = np.atleast_2d(X)
+        r = np.sqrt((X[:, 0] - offset) ** 2 + X[:, 1] ** 2)
+        return -0.5 * ((r - mean_radius) / std) ** 2
+
     bounds = np.array([[-1.5, 1.5], [-1.5, 1.5]]) + offset
-    return SyntheticModel(loglike, bounds, name="ring")
+    return SyntheticModel(loglike, bounds, name="ring",
+                          loglike_vec=loglike_vec)
 
 
 def himmelblau(rng=None):
@@ -117,8 +158,14 @@ def himmelblau(rng=None):
         x_, y_ = np.atleast_1d(x)
         return float(-((x_**2 + y_ - 11) ** 2 + (x_ + y_**2 - 7) ** 2))
 
+    def loglike_vec(X):
+        X = np.atleast_2d(X)
+        x_, y_ = X[:, 0], X[:, 1]
+        return -((x_**2 + y_ - 11) ** 2 + (x_ + y_**2 - 7) ** 2)
+
     bounds = np.array([[-6.0, 6.0], [-6.0, 6.0]])
-    return SyntheticModel(loglike, bounds, name="himmelblau")
+    return SyntheticModel(loglike, bounds, name="himmelblau",
+                          loglike_vec=loglike_vec)
 
 
 def rosenbrock(a=1.0, b=100.0, rng=None):
@@ -128,8 +175,14 @@ def rosenbrock(a=1.0, b=100.0, rng=None):
         x_, y_ = np.atleast_1d(x)
         return float(-((a - x_) ** 2 + b * (y_ - x_**2) ** 2) / 20)
 
+    def loglike_vec(X):
+        X = np.atleast_2d(X)
+        x_, y_ = X[:, 0], X[:, 1]
+        return -((a - x_) ** 2 + b * (y_ - x_**2) ** 2) / 20
+
     bounds = np.array([[-4.0, 4.0], [-2.0, 10.0]])
-    return SyntheticModel(loglike, bounds, name="rosenbrock")
+    return SyntheticModel(loglike, bounds, name="rosenbrock",
+                          loglike_vec=loglike_vec)
 
 
 def spike(d=2, a=100.0, b=2.0, rng=None):
@@ -145,8 +198,16 @@ def spike(d=2, a=100.0, b=2.0, rng=None):
                              * np.exp(-a * (x_ - b) ** 2))
         return float(-0.5 * np.sum(chi2))
 
+    def loglike_vec(X):
+        X = np.atleast_2d(X)
+        chi2 = -2.0 * np.log(np.exp(-X ** 2)
+                             + (1.0 - np.exp(-b * b))
+                             * np.exp(-a * (X - b) ** 2))
+        return -0.5 * np.sum(chi2, axis=1)
+
     bounds = np.array([[-4.0, 4.0]] * d)
-    return SyntheticModel(loglike, bounds, name="spike")
+    return SyntheticModel(loglike, bounds, name="spike",
+                          loglike_vec=loglike_vec)
 
 
 def flat_base_spike(rng=None):
@@ -160,8 +221,13 @@ def flat_base_spike(rng=None):
         x_ = np.atleast_1d(x)[0]
         return float(np.log(1e-4 + np.exp(-0.5 * (x_ / 0.01) ** 2)))
 
+    def loglike_vec(X):
+        x_ = np.atleast_2d(X)[:, 0]
+        return np.log(1e-4 + np.exp(-0.5 * (x_ / 0.01) ** 2))
+
     bounds = np.array([[-1.0, 1.0]])
-    return SyntheticModel(loglike, bounds, name="flat_base_spike")
+    return SyntheticModel(loglike, bounds, name="flat_base_spike",
+                          loglike_vec=loglike_vec)
 
 
 def kl_truth_gaussian(samples_X, weights, mean_true, cov_true):

@@ -343,6 +343,9 @@ def test_spike_found_by_exploration():
     runner.run()
     # the spike (loglike >> base) is in the training set
     assert float(np.max(runner.gpr.y_train)) > base + 1.0
+
+
+def test_runner_tail_batch_not_starved():
     """A full return of a small TAIL batch (budget < n_points_per_acq)
     must NOT be classified as starvation: the points are truth-evaluated
     and no forced resample happens."""
@@ -899,3 +902,76 @@ def test_overwrite_clear_is_main_process_only(tmp_path, monkeypatch):
            checkpoint=str(ck), load_checkpoint="overwrite")
     assert not sentinel.exists()      # root rank wipes stale files
     del gio
+
+
+def test_exploration_dedup_does_not_charge_budget(rng, monkeypatch):
+    """Points skipped as duplicates advance the Sobol net position but do
+    NOT spend exploration budget, and an all-duplicate draw redraws
+    further into the net instead of returning an empty (exhausted-looking)
+    batch."""
+    import gpry_tpu.run as run_mod
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=23)
+    runner = Runner(m.loglike, bounds=m.bounds, seed=4, verbose=0,
+                    options={"max_total": 100, "max_initial": 20,
+                             "max_starved_explore": 10})
+    runner.do_initial_training()
+
+    calls = []
+    real = run_mod.check_candidates
+
+    def fake_check(seen, cand, tol=1e-8):
+        calls.append(len(cand))
+        if len(calls) == 1:
+            # first draw: everything is a "duplicate"
+            return np.ones(len(cand), dtype=bool)
+        return real(seen, cand, tol)
+
+    monkeypatch.setattr(run_mod, "check_candidates", fake_check)
+    X = runner._starved_exploration_batch(4)
+    # the all-duplicate first draw forced a redraw; the batch is full
+    assert X.shape == (4, 2)
+    assert len(calls) >= 2
+    # budget charged only for returned points; net advanced past the dups
+    assert runner._n_explored == 4
+    assert runner._explore_net_i == 8
+
+
+def test_load_options_backfills_max_starved_explore():
+    """Resuming a checkpoint written before the exploration fallback
+    existed must backfill the live default ('32d'), not silently disable
+    the starvation/flat-veto guards."""
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=3, rng=7)
+    runner = Runner(m.loglike, bounds=m.bounds, seed=1, verbose=0)
+    old_options = dict(runner.options)
+    old_options.pop("max_starved_explore")
+    runner._load_options(old_options)
+    assert runner.max_starved_explore == 32 * 3
+
+
+def test_progress_accumulate_keeps_finite_evals():
+    """accumulate=True with a NaN evals count must not erase a previously
+    recorded finite count (and vice versa)."""
+    from gpry_tpu.progress import Progress
+
+    class _T:
+        time = 1.0
+        evals = np.nan
+
+    class _TC(_T):
+        evals = 12
+
+    p = Progress()
+    p.add_iteration()
+    p.add_fit(_TC())
+    p.add_fit(_T(), accumulate=True)
+    assert p.data.iloc[-1]["evals_fit"] == 12
+    assert p.data.iloc[-1]["time_fit"] == 2.0
+    # NaN first, finite second: finite wins
+    p.add_iteration()
+    p.add_fit(_T())
+    p.add_fit(_TC(), accumulate=True)
+    assert p.data.iloc[-1]["evals_fit"] == 12
