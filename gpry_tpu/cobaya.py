@@ -27,6 +27,7 @@ DEFAULTS = {
     "convergence_criterion": None,
     "options": {},
     "mc_sampler": "nested",
+    "truth_executor": "serial",
     "callback": None,
     "callback_is_MPI_aware": False,
     "checkpoint": None,
@@ -83,6 +84,7 @@ def get_cobaya_class():
                 mc=opts["mc_sampler"],
                 plots=opts["plots"],
                 verbose=opts["verbose"],
+                truth_executor=opts["truth_executor"],
             )
 
         def run(self):

@@ -163,7 +163,18 @@ class Runner:
         # diverging from the Runner's on resume).
         for _cc in self.convergence_criterion:
             _cc.rng = self.rng
-        self.executor = TruthExecutor(self.truth, mode=truth_executor)
+        # string mode, or a spec dict: {"mode": "processes",
+        # "max_workers": 8} / {"processes": {"max_workers": 8}}
+        if isinstance(truth_executor, dict):
+            spec = dict(truth_executor)
+            if "mode" in spec:
+                mode = spec.pop("mode")
+            else:
+                (mode, kwargs), = spec.items()
+                spec = dict(kwargs or {})
+            self.executor = TruthExecutor(self.truth, mode=mode, **spec)
+        else:
+            self.executor = TruthExecutor(self.truth, mode=truth_executor)
         self._resumed = resuming
         # hang-watchdog liveness ticks from inside long fits (see
         # _touch_liveness); set on both the fresh and the resumed GPR.

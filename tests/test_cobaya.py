@@ -135,6 +135,7 @@ def test_cobaya_wrapper_sampler(cobaya_env):
         "options": {"max_total": 20, "max_initial": 14},
         "convergence_criterion": "DontConverge",
         "mc_sampler": "uniform",
+        "truth_executor": {"threads": {"max_workers": 2}},
         "seed": 1,
         "verbose": 1,
     }
@@ -149,6 +150,9 @@ def test_cobaya_wrapper_sampler(cobaya_env):
     assert sample is not None and len(sample["X"]) > 100
     prods = wrapper.products()
     assert prods["runner"].gpr.n_total >= 15
+    # the truth_executor option must reach the Runner's executor
+    assert prods["runner"].executor.mode == "threads"
+    assert prods["runner"].executor.max_workers == 2
     # "uniform" sampler: unit weights, posterior mass in logpost — use
     # importance weights to check the recovered mean
     logw = sample["logpost"] - sample["logpost"].max()

@@ -121,6 +121,28 @@ def test_truth_executor_modes():
         ex.shutdown()
 
 
+def test_runner_truth_executor_dict_spec():
+    """Runner accepts {"mode": ..., "max_workers": ...} and
+    {"<mode>": {kwargs}} truth_executor specs (the pool must be sizable
+    beyond cpu_count for wait-bound likelihoods, e.g. remote or
+    I/O-bound truths)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from model_generator import random_gaussian
+    from gpry_tpu.run import Runner
+
+    m = random_gaussian(d=2, rng=8)
+    r1 = Runner(m.loglike, bounds=m.bounds, seed=8, verbose=0,
+                truth_executor={"mode": "threads", "max_workers": 3})
+    assert r1.executor.mode == "threads" and r1.executor.max_workers == 3
+    r1.executor.shutdown()
+    r2 = Runner(m.loglike, bounds=m.bounds, seed=8, verbose=0,
+                truth_executor={"threads": {"max_workers": 2}})
+    assert r2.executor.mode == "threads" and r2.executor.max_workers == 2
+    r2.executor.shutdown()
+
+
 def test_runner_with_thread_executor():
     """The loop works with host-parallel truth evaluation (the analogue of
     the reference's MPI-parallel _eval_truth_parallel)."""
