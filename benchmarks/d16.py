@@ -206,7 +206,16 @@ if __name__ == "__main__":
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             f"results_d{args.d}_tpu.json")
+    # merge across invocations: keep committed rows for seeds not being
+    # re-run (a prior --seeds 100,101 file must survive a --seeds 102 run)
     rows = []
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                rows = [r for r in json.load(f).get("runs", [])
+                        if r.get("seed") not in seeds]
+        except (OSError, ValueError, KeyError):
+            rows = []
     for seed in seeds:
         row = drive_one(args.d, seed, args.ckpt_root,
                         hang_grace_s=args.hang_grace,
