@@ -124,7 +124,14 @@ def main():
     ap.add_argument("--delay", type=float, default=0.1)
     ap.add_argument("--verbose", type=int, default=1)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--device", default="cpu", choices=["cpu", "default"],
+                    help="cpu pins compute to the host (hardware-"
+                         "independent evals metric); 'default' uses the "
+                         "ambient accelerator")
     args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_default_device", "cpu")
     seeds = [int(s) for s in args.seeds.split(",")]
 
     rows = []
@@ -160,6 +167,4 @@ def main():
 
 
 if __name__ == "__main__":
-    import jax
-    jax.config.update("jax_default_device", "cpu")
     main()
