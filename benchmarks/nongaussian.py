@@ -220,10 +220,11 @@ def summarize(rows):
 if __name__ == "__main__":
     import argparse
 
-    import jax
-    jax.config.update("jax_default_device", "cpu")
-
     ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="cpu", choices=["cpu", "default"],
+                    help="cpu pins compute to the host (hardware-"
+                         "independent evals metric); 'default' uses the "
+                         "ambient accelerator")
     ap.add_argument("--seeds", default="100,101,102")
     ap.add_argument("--verbose", type=int, default=1)
     ap.add_argument("--no-reference", action="store_true")
@@ -233,6 +234,9 @@ if __name__ == "__main__":
                     help="merge rows into an existing results file")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_default_device", "cpu")
     seeds = tuple(int(x) for x in args.seeds.split(","))
     only = tuple(args.only.split(",")) if args.only else None
     rows = run_battery(seeds=seeds, verbose=args.verbose,

@@ -121,7 +121,16 @@ def mean_covmat_from_samples(samples, weights=None):
     w = weights / weights.sum()
     mean = w @ samples
     diff = samples - mean
-    cov = (diff * w[:, None]).T @ diff / (1 - np.sum(w**2))
+    # Bessel correction for weighted samples; with degenerate weights
+    # (ESS -> 1, e.g. an NS sample collapsed onto one live point at large
+    # d) it vanishes and the division sprays inf/nan into every consumer
+    # (observed live at d=20) — fall back to the biased estimator, which
+    # is finite (~0 covariance) and correctly read as invalid/degenerate
+    # by is_valid_covmat-guarded callers.
+    denom = 1.0 - float(np.sum(w**2))
+    if not denom > 1e-12:
+        denom = 1.0
+    cov = (diff * w[:, None]).T @ diff / denom
     return mean, cov
 
 

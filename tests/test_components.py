@@ -119,6 +119,25 @@ def test_get_xnumber_dsl():
         get_Xnumber("abc", "d", 8)
 
 
+def test_mean_covmat_degenerate_weights_finite():
+    """Degenerate weights (ESS -> 1) must not spray inf/nan through the
+    Bessel correction (observed live from collapsed NS samples at d=20);
+    the fallback biased estimator is finite and ~0."""
+    from gpry_tpu.utils.tools import mean_covmat_from_samples
+
+    X = np.random.default_rng(0).normal(size=(50, 3))
+    w = np.zeros(50)
+    w[7] = 1.0
+    mean, cov = mean_covmat_from_samples(X, w)
+    assert np.all(np.isfinite(mean)) and np.all(np.isfinite(cov))
+    np.testing.assert_allclose(mean, X[7])
+    np.testing.assert_allclose(cov, 0.0, atol=1e-12)
+    # non-degenerate weights keep the exact Bessel-corrected value
+    w2 = np.full(50, 1.0 / 50)
+    _, cov2 = mean_covmat_from_samples(X, w2)
+    np.testing.assert_allclose(cov2, np.cov(X.T), rtol=1e-10)
+
+
 def test_chi2_geometry():
     # 1-sigma in 1d is 1 std and delta logp 0.5
     assert np.isclose(nstd_of_1d_nstd(1, 1), 1.0)
