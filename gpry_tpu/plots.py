@@ -242,6 +242,12 @@ def plot_corner(samples_dict, params=None, gpr=None, truth_samples=None,
     return _finish(fig, save, show)
 
 
+# API-parity alias: the reference names this plot_corner_getdist
+# (gpry/plots.py:412); our plot_corner covers both the getdist and the
+# matplotlib-fallback paths under one entry point.
+plot_corner_getdist = plot_corner
+
+
 def getdist_add_training(gdplot, params, gpr, colormap="viridis",
                          marker=".", marker_inf="x"):
     """Overlay training points on a getdist triangle plot

@@ -55,6 +55,8 @@ def test_plot_corner_and_distance(fitted_gpr, tmp_path):
     out2 = tmp_path / "dist.png"
     gplots.plot_distance_distribution(fitted_gpr, samples, save=str(out2))
     assert out2.exists()
+    # reference API name (gpry/plots.py:412) resolves to the same function
+    assert gplots.plot_corner_getdist is gplots.plot_corner
 
 
 def test_plot_convergence_and_timing(fitted_gpr, tmp_path):
