@@ -163,6 +163,15 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
             "n_calls": int(res.n_calls),
         }
         gpr.n_eval += int(res.n_calls)
+        if options.get("refine", True):
+            # Mixture-IS refinement (mc/refine.py): one huge batched
+            # device predict fixes the NS sample's mode-weight noise —
+            # on multimodal targets the dominant final-sample error.
+            from gpry_tpu.mc.refine import is_refine_sample
+            out = is_refine_sample(
+                gpr, out, bounds, rng=rng,
+                n_draw=int(options.get("refine_n_draw", 65536)),
+                verbose=verbose)
         return out
     if sampler == "mcmc":
         from gpry_tpu.mc.mcmc import split_rhat
@@ -186,8 +195,15 @@ def mc_sample_from_gp(gpr, bounds=None, sampler="nested", rng=None,
         # proposal eval per chain per step over warmup (n_steps//2, the
         # run_mcmc_device default) + sampling phases
         gpr.n_eval += n_chains * (16 + n_steps // 2 + n_steps)
-        return {"X": X[keep], "logpost": logpost[keep],
-                "weights": np.ones(int(keep.sum())), "rhat": rhat}
+        out = {"X": X[keep], "logpost": logpost[keep],
+               "weights": np.ones(int(keep.sum())), "rhat": rhat}
+        if options.get("refine", True):
+            from gpry_tpu.mc.refine import is_refine_sample
+            out = is_refine_sample(
+                gpr, out, bounds, rng=rng,
+                n_draw=int(options.get("refine_n_draw", 65536)),
+                verbose=verbose)
+        return out
     if sampler == "uniform":
         # For tests only (reference: gpry/gp_acquisition.py:748-758).
         n = int(options.get("n_samples", 5000))

@@ -78,6 +78,17 @@ class Runner:
         # resolution is the insurance against a structure the blind
         # phase may have only grazed, e.g. a spike's tail).
         self._flat_explored = False
+        # mode-aware convergence state (see _convergence_audit and the
+        # mode-signature veto in _run_main_loop): truth evals spent on
+        # audits, and the acquisition sample's mode signature at the
+        # previous / current convergence check
+        self._n_audited = 0
+        self._mode_sig_hist = []
+        self._mode_sig_now = None
+        # box-normalized coordinates of audit picks: regions audited once
+        # (and found empty) are masked for the rest of the run
+        self._X_audit_hist = []
+        self._audit_calib = (0.0, 0.0)  # (amp, y_floor) from last screen
 
         # -- checkpoint resume -------------------------------------------------
         resuming = False
@@ -134,6 +145,13 @@ class Runner:
                 self._explore_seed = runtime.get("explore_seed")
                 self._flat_explored = bool(
                     runtime.get("flat_explored", False))
+                self._n_audited = int(runtime.get("n_audited", 0))
+                self._mode_sig_hist = [
+                    (s[0], tuple(s[1]))
+                    for s in runtime.get("mode_sig_hist", [])]
+                self._X_audit_hist = [
+                    np.asarray(x) for x in
+                    runtime.get("audit_hist", [])]
             self._load_options(self.options)
             # Re-link the single RNG stream into components that drop
             # theirs on pickling.
@@ -280,6 +298,21 @@ class Runner:
             # acquisitions (0 disables = the reference's give-up
             # semantics, gpry/run.py:885-911).
             "max_starved_explore": getn("max_starved_explore", "32d"),
+            # Mode-aware convergence (beyond the reference, whose
+            # CorrectCounter is blind to undiscovered modes): a declared
+            # convergence is audited with a screening of the surrogate's
+            # ungated belief over the prior box, spending up to n_audit
+            # truth evals per declaration (max_audit total) on points
+            # where the surrogate cannot RULE OUT top-band posterior
+            # mass; finding real mass there vetoes the declaration.
+            "audit": bool(options.get("audit", True)),
+            "n_audit": getn("n_audit", "1d"),
+            "audit_rounds": int(options.get("audit_rounds", 3)),
+            "max_audit": getn("max_audit", "8d"),
+            "audit_kappa": float(options.get("audit_kappa", 3.5)),
+            "audit_band_nstd": float(options.get("audit_band_nstd", 4.0)),
+            "mode_weight_tol": float(options.get("mode_weight_tol", 0.10)),
+            "mode_stable_checks": int(options.get("mode_stable_checks", 3)),
         }
         if "max_total" in options:
             out["max_total"] = getn("max_total", None)
@@ -310,6 +343,17 @@ class Runner:
             self.max_starved_explore = get_Xnumber(
                 "32d", "d", self.d, dtype=int,
                 varname="max_starved_explore")
+        # backfill for pre-audit checkpoints: live defaults
+        getn = lambda key, default: get_Xnumber(
+            options.get(key, default), "d", self.d, dtype=int, varname=key)
+        self.audit = bool(options.get("audit", True))
+        self.n_audit = getn("n_audit", "1d")
+        self.audit_rounds = int(options.get("audit_rounds", 3))
+        self.max_audit = getn("max_audit", "8d")
+        self.audit_kappa = float(options.get("audit_kappa", 3.5))
+        self.audit_band_nstd = float(options.get("audit_band_nstd", 4.0))
+        self.mode_weight_tol = float(options.get("mode_weight_tol", 0.10))
+        self.mode_stable_checks = int(options.get("mode_stable_checks", 3))
         if self.n_initial <= 0:
             raise ValueError("n_initial must be > 0.")
         if self.max_initial < self.n_initial:
@@ -632,6 +676,10 @@ class Runner:
                 self.log(f"[CONVERGENCE] value={conv_value:.3g} "
                          f"converged={self.has_converged} "
                          f"({timer_conv.time:.3g}s)", _VERBOSITY_INFO)
+                # track the acquisition sample's mode signature (host-side
+                # clustering of ~1k resampled points; None for engines
+                # without an MC sample, e.g. BatchOptimizer)
+                self._mode_sig_now = self._acquisition_mode_signature()
 
             self.update_mean_cov()
 
@@ -669,6 +717,44 @@ class Runner:
                         self._fit_gpr(exp_X, exp_y)
                     self.progress.add_fit(timer_fit, accumulate=True)
                     self._touch_liveness()
+
+            # Mode-signature stability veto (beyond the reference): on a
+            # MULTIMODAL surrogate, convergence requires the mode count
+            # and weights of the acquisition's MC sample to agree across
+            # the last ``mode_stable_checks`` convergence checks — a
+            # signature still in flux means mode weights (and possibly
+            # the mode census) are not settled (observed round 3:
+            # Himmelblau "converging" at momKL 130-822 with two of four
+            # modes missing; a single-pair check still accepted at momKL
+            # 0.4-0.8 two batches after a new mode was found, before its
+            # weight equilibrated).  Costs no truth evals.
+            if not explored_batch and self._mode_sig_now is not None:
+                self._mode_sig_hist.append(self._mode_sig_now)
+                del self._mode_sig_hist[:-max(self.mode_stable_checks, 1)]
+            if self.has_converged and self._mode_sig_now is not None \
+                    and self._mode_sig_now[0] >= 2:
+                from gpry_tpu.utils.modes import modes_match
+                hist = self._mode_sig_hist[-self.mode_stable_checks:]
+                stable = len(hist) >= self.mode_stable_checks and all(
+                    modes_match(a, b, self.mode_weight_tol)
+                    for a, b in zip(hist, hist[1:]))
+                if not stable:
+                    self.has_converged = False
+                    self.log("[MODES] convergence vetoed: multimodal "
+                             f"signature {self._mode_sig_now} not stable "
+                             f"over the last {self.mode_stable_checks} "
+                             f"checks (history: {hist[:-1]}).",
+                             _VERBOSITY_WARN)
+
+            # Convergence audit (beyond the reference): before accepting,
+            # screen the surrogate's UNGATED belief over the prior box for
+            # points where top-band posterior mass cannot be ruled out at
+            # kappa sigma, and spend a few truth evals on the most
+            # suspicious ones.  Real mass found there (an undiscovered
+            # mode, a spike) vetoes the declaration and feeds the GP.
+            if self.has_converged and self.audit:
+                if not self._convergence_audit():
+                    self.has_converged = False
 
             # [MC+DIAGNOSIS] on declared convergence
             if self.has_converged:
@@ -780,6 +866,299 @@ class Runner:
             return np.empty((0, self.d))
         self._n_explored += got
         return np.concatenate(out, axis=0)
+
+    def _acquisition_mode_signature(self):
+        """Mode signature of the acquisition engine's current MC sample
+        (None when the engine has no sample, e.g. BatchOptimizer)."""
+        if not hasattr(self.acquisition, "last_MC_sample"):
+            return None
+        try:
+            X, _, w = self.acquisition.last_MC_sample()
+        except (ValueError, AttributeError):
+            return None
+        from gpry_tpu.utils.modes import detect_modes, mode_signature
+        try:
+            return mode_signature(detect_modes(X, w, rng=self.rng))
+        except Exception as excpt:
+            self.log(f"[MODES] mode detection failed: {excpt}",
+                     _VERBOSITY_DEBUG)
+            return None
+
+    def _audit_screen(self, thres):
+        """One audit screening pass: ungated surrogate belief over a fresh
+        scrambled-Sobol net on the prior box.  Returns ``(Xs, mu, z)``
+        where ``z = (thres - mu_eff)/sd`` is the in-band z-score (small
+        z = plausibly-missed mass).
+
+        ``mu_eff`` is the GP mean with its far-field reversion target
+        replaced: a y-normalized GP reverts to the TRAINING-SET AVERAGE
+        log-posterior far from all data — an absurd belief ("far from
+        everything I know, the posterior is as good as my typical sample")
+        that puts the entire far field a fraction of a sigma below the
+        top band and floods the screen with false alarms, starving the
+        genuinely suspicious partially-informed regions (measured on
+        Himmelblau: empty corners screen at z~0.14 vs missed modes at
+        z~0.7).  For auditing we revert to the WORST finite value seen
+        instead, weighted by the GP's own uninformedness (sd/amp)^2 —
+        the exact variance complement of the posterior-mean reversion
+        weight k'K^-1k/amp^2."""
+        from scipy.stats import qmc
+        import warnings
+        n_screen = 4096
+        eng = qmc.Sobol(self.d, scramble=True,
+                        seed=int(self.rng.integers(2 ** 31 - 1)))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            u = eng.random(n_screen)
+        lo, hi = self.prior_bounds[:, 0], self.prior_bounds[:, 1]
+        Xs = lo + u * (hi - lo)
+        import jax.numpy as jnp
+        from gpry_tpu.models.gp import surrogate_mean_std_smooth
+        p = self.gpr.sweep_params()
+        mu, sd = surrogate_mean_std_smooth(
+            self.gpr.family, p, jnp.asarray(Xs, p.X.dtype))
+        mu, sd = np.asarray(mu, float), np.asarray(sd, float)
+        amp = np.nanmax(sd[np.isfinite(sd)], initial=0.0)
+        y_all = np.asarray(self.gpr.y_train, float)
+        finite = np.isfinite(y_all)
+        y_floor = float(np.min(y_all[finite])) if np.any(finite) \
+            else self.gpr.y_max
+        self._audit_calib = (amp, y_floor)
+        mu_eff, z = self._audit_zscore(mu, sd, thres)
+        return Xs, mu_eff, z
+
+    def _audit_zscore(self, mu, sd, thres):
+        """Floor-corrected audit belief (see _audit_screen): returns
+        ``(mu_eff, z)`` given the calibration set by the last screen."""
+        amp, y_floor = self._audit_calib
+        if amp > 0:
+            w_floor = np.clip((sd / amp) ** 2, 0.0, 1.0)
+            mu_eff = (1.0 - w_floor) * mu + w_floor * min(y_floor, thres)
+        else:
+            mu_eff = mu
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (thres - mu_eff) / np.maximum(sd, 1e-300)
+        z = np.where(np.isfinite(mu) & np.isfinite(sd), z, np.inf)
+        return mu_eff, z
+
+    def _audit_polish(self, X0, thres, margin=0.0, n_local=256,
+                      sigma_frac=0.06):
+        """Move each audit pick to the most UNEXPLORED plausible point of
+        its region: the local argmax of sigma among cloud points that
+        still pass the screen's own suspicion test (z < kappa AND
+        mu_eff < thres - margin), over a Gaussian cloud around the pick
+        (sigma = ``sigma_frac`` of the box span per dimension, clipped to
+        the box).  One batched surrogate predict for ALL picks' clouds —
+        costs no truth evals.
+
+        Why argmin-z *within the suspicious set* and not a UCB ascent or
+        argmax-sd: an unrestricted UCB drifts to whatever nearby
+        direction has the largest sigma (uninformed space, away from the
+        flagged region), and argmax-sd picks the deepest-uncertainty
+        point — usually the floor of an empty basin, whose very low truth
+        value then hardens the GP's confident no (measured: 2/3
+        Himmelblau seeds regressed to momKL ~650 under max-sd).  The
+        min-z point is where in-band truth is LIKELIEST under the
+        floor-corrected belief; entering a missed mode through that edge
+        is how every successful discovery in the battery happened.
+        Returns (polished points, their effective mu)."""
+        import jax.numpy as jnp
+        from gpry_tpu.models.gp import surrogate_mean_std_smooth
+        lo, hi = self.prior_bounds[:, 0], self.prior_bounds[:, 1]
+        span = hi - lo
+        n0 = len(X0)
+        cloud = np.repeat(X0, n_local, axis=0)
+        cloud = cloud + self.rng.normal(
+            scale=sigma_frac, size=cloud.shape) * span
+        cloud = np.clip(cloud, lo, hi)
+        cloud[::n_local] = X0  # keep the original picks as candidates
+        p = self.gpr.sweep_params()
+        mu, sd = surrogate_mean_std_smooth(
+            self.gpr.family, p, jnp.asarray(cloud, p.X.dtype))
+        mu_eff, z = self._audit_zscore(
+            np.asarray(mu, float), np.asarray(sd, float), thres)
+        z = np.where(mu_eff < thres - margin, z, np.inf)
+        if self._X_audit_hist:
+            # keep polished picks out of already-audited zones too (the
+            # cloud can reach back into a masked region)
+            hist = np.asarray(self._X_audit_hist)
+            cn = (cloud - lo) / (hi - lo)
+            d2 = np.min(np.sum(
+                (cn[:, None, :] - hist[None, :, :]) ** 2, axis=-1),
+                axis=1)
+            z = np.where(d2 >= (0.08 ** 2) * len(lo), z, np.inf)
+        best = z.reshape(n0, n_local).argmin(axis=1) \
+            + np.arange(n0) * n_local
+        return cloud[best], mu_eff[best]
+
+    def _convergence_audit(self):
+        """
+        Audit a declared convergence against UNDISCOVERED posterior mass.
+
+        The reference's criteria only ever score points the acquisition
+        itself proposed (gpry/convergence.py:755-879), so a surrogate that
+        never saw a mode converges without it.  This audit asks the
+        surrogate's own *ungated* belief where it cannot rule out top-band
+        mass: screen a scrambled-Sobol net over the prior box and flag
+        points whose in-band z-score ``(y_max - band - mu)/sigma`` is below
+        ``kappa`` while ``mu < y_max - band`` (i.e. not a known-mass region
+        — there the mean itself is in-band).  Candidates are audited in
+        ASCENDING z order — i.e. by probability of hiding top-band mass —
+        NOT by upper-confidence bound: a UCB ranking degenerates to
+        whatever has the largest sigma (box corners), while the points most
+        likely to hide a missed mode sit at moderate sigma and much higher
+        mu (measured on Himmelblau: missed modes screen at z≈0.7 vs
+        corners at z≈2).
+
+        The audit iterates screen→evaluate→refit rounds within one
+        declaration (``audit_rounds`` rounds of up to ``n_audit`` truth
+        evals; ``max_audit`` total per run): auditing a region pins the GP
+        there over a lengthscale-sized ball, so the suspicious set shrinks
+        geometrically.  Any truth value inside the band is real mass the
+        surrogate missed: the declaration is vetoed and the points (all
+        informative: tails train the GP too) feed the training set.
+
+        Returns True when the declaration survives.  With a clean first
+        screen the audit is FREE (no truth evals) — on well-trained
+        unimodal targets it usually costs nothing.
+        """
+        from gpry_tpu.utils.tools import delta_logp_of_1d_nstd
+        band = delta_logp_of_1d_nstd(self.audit_band_nstd, self.d)
+        lo, hi = self.prior_bounds[:, 0], self.prior_bounds[:, 1]
+        r2 = (0.15 ** 2) * self.d
+        # history-mask radius, tighter than the within-batch diversity
+        # radius: wide enough to stop re-auditing a region whose belief
+        # an eval cannot move (a very low truth value is swallowed by the
+        # infinities classifier and never reaches the GP — observed: the
+        # same corner picked 7x), narrow enough that a near-miss outside
+        # a mode's in-band catchment does not shadow the mode core
+        r2_hist = (0.08 ** 2) * self.d
+        for audit_round in range(self.audit_rounds):
+            thres = self.gpr.y_max - band
+            n_budget = min(self.max_audit - self._n_audited,
+                           self.n_total_left)
+            if n_budget <= 0:
+                self.log("[AUDIT] budget spent "
+                         f"({self._n_audited}/{self.max_audit}); accepting "
+                         "convergence unaudited.", _VERBOSITY_WARN)
+                return True
+            Xs, mu, z = self._audit_screen(thres)
+            # A suspicious point must be a genuine SURPRISE candidate:
+            # the surrogate claims clearly-below-band (margin of band/2)
+            # yet cannot back it at kappa sigma.  Without the margin the
+            # audit chases the band-boundary shell — points predicted a
+            # hair below thres whose truth is a hair above: "mass" the
+            # surrogate already models correctly (measured on d=4
+            # Gaussians: every shell audit "hit" had |y - mu| < 0.5 and
+            # each spurious veto dragged the run +1 batch, inflating
+            # evals-to-stop 36 -> 78).  With the margin, any in-band
+            # truth at an audited point automatically exceeds its
+            # prediction by > band/2 — a real discovery.
+            margin = 0.5 * band
+            suspicious = (z < self.audit_kappa) & (mu < thres - margin)
+            if np.any(suspicious) and self._X_audit_hist:
+                # drop candidates whose REGION was already audited this
+                # run: a far-from-data region with a large prior
+                # amplitude and a short lengthscale re-screens as
+                # suspicious forever (one truth eval cannot shrink its
+                # sigma beyond a lengthscale ball) — without this mask
+                # every round re-picks the same miscalibrated corner and
+                # the genuinely suspicious moderate-z regions (missed
+                # modes screen at z~0.7-0.9) are never reached.
+                Xn_all = (Xs - lo) / (hi - lo)
+                hist = np.asarray(self._X_audit_hist)
+                d2 = np.min(np.sum(
+                    (Xn_all[:, None, :] - hist[None, :, :]) ** 2,
+                    axis=-1), axis=1)
+                suspicious &= d2 >= r2_hist
+            if not np.any(suspicious):
+                self.log("[AUDIT] no plausibly-missed mass at "
+                         f"{self.audit_kappa} sigma over {len(Xs)} "
+                         "screening points (outside already-audited "
+                         "regions); convergence accepted "
+                         f"({self._n_audited} audit evals so far).",
+                         _VERBOSITY_INFO)
+                return True
+            n_pick = int(min(self.n_audit, n_budget))
+            # greedy min-z selection with a diversity radius, in
+            # box-normalized coordinates: d audit points in one
+            # lengthscale-ball would waste the batch
+            Xn = (Xs[suspicious] - lo) / (hi - lo)
+            order = np.argsort(z[suspicious])
+            picked = []
+            for j in order:
+                if len(picked) >= n_pick:
+                    break
+                if picked and np.min(np.sum(
+                        (Xn[picked] - Xn[j]) ** 2, axis=1)) < r2:
+                    continue
+                picked.append(j)
+            # polish each pick to its region's local UCB argmax with one
+            # extra batched SURROGATE predict (free: no truth evals).  A
+            # raw Sobol point flags a suspicious REGION but rarely sits on
+            # the region's plausible-mass peak (a mode's in-band catchment
+            # can be much smaller than the screen spacing); spending the
+            # truth eval anywhere else both wastes it and then masks the
+            # region with an unfair "checked, empty" verdict (observed:
+            # Himmelblau's 4th mode shadowed by a near-miss audit).
+            X_audit, mu_audit = self._audit_polish(
+                Xs[suspicious][picked], thres, margin=margin)
+            with Timer() as timer_truth:
+                y_audit = self.executor.logp_batch(X_audit)
+            self.progress.add_truth(timer_truth, n_evals=len(X_audit),
+                                    accumulate=True)
+            self._n_audited += len(X_audit)
+            y_audit = np.asarray(y_audit)
+            found = y_audit > thres
+            # mask the audited POINTS unconditionally (with the tight
+            # r2_hist radius): a truth value below the infinities
+            # threshold never reaches the GP, so the local belief cannot
+            # change and an unmasked empty pick would be re-selected
+            # verbatim every round until the budget is gone
+            self._X_audit_hist.extend((X_audit - lo) / (hi - lo))
+            # all audit points are informative (in-band hits map new mass;
+            # low tails pin down where mass is NOT): train on all of them
+            with TimerCounter(self.gpr) as timer_fit:
+                self.gpr.append_to_data(
+                    X_audit, np.asarray(y_audit),
+                    fit_gpr=({"n_restarts": self._fit_restarts()}
+                             if np.any(found) else "simple"))
+            self.progress.add_fit(timer_fit, accumulate=True)
+            self._touch_liveness()
+            if np.any(found):
+                # the mode census just changed: demand a fresh stability
+                # streak before convergence can be declared again
+                self._mode_sig_hist.clear()
+                self.log("[AUDIT] convergence vetoed: found REAL top-band "
+                         f"mass at {int(found.sum())}/{len(X_audit)} "
+                         f"audited points (best logp "
+                         f"{np.max(y_audit):.4g} vs predicted "
+                         f"{mu_audit[np.argmax(y_audit)]:.4g}, band "
+                         f"{thres:.4g}); audit spend "
+                         f"{self._n_audited}/{self.max_audit}.",
+                         _VERBOSITY_WARN)
+                return False
+            self.log(f"[AUDIT] round {audit_round + 1}: {len(X_audit)} "
+                     "suspicious points audited, no real mass found "
+                     f"(spend {self._n_audited}/{self.max_audit}).",
+                     _VERBOSITY_INFO)
+        # Rounds exhausted with a DIRTY screen: while per-run audit
+        # budget remains, veto rather than accept — plausibly-missed
+        # regions are still unchecked, and the loop's next declaration
+        # resumes auditing them with the region masks carried over
+        # (observed: Himmelblau seed 102 accepted at 44 evals with two
+        # modes still screening suspicious and 10/16 budget unspent).
+        if self._n_audited < self.max_audit \
+                and self.n_total_left > 0:
+            self.log(f"[AUDIT] convergence vetoed: screen still dirty "
+                     f"after {self.audit_rounds} rounds (spend "
+                     f"{self._n_audited}/{self.max_audit}); auditing "
+                     "resumes at the next declaration.", _VERBOSITY_WARN)
+            return False
+        self.log(f"[AUDIT] audit budget spent without a clean screen; "
+                 f"convergence accepted unaudited (spend "
+                 f"{self._n_audited}/{self.max_audit}).", _VERBOSITY_WARN)
+        return True
 
     def do_initial_training(self):
         """
@@ -1061,6 +1440,11 @@ class Runner:
                 "explore_net_i": int(self._explore_net_i),
                 "explore_seed": self._explore_seed,
                 "flat_explored": bool(self._flat_explored),
+                "n_audited": int(self._n_audited),
+                "mode_sig_hist": [[s[0], list(s[1])]
+                                  for s in self._mode_sig_hist],
+                "audit_hist": [list(map(float, x))
+                               for x in self._X_audit_hist],
             }
             gio.save_checkpoint(
                 self.checkpoint, self.truth, self.gpr, self.acquisition,
