@@ -163,16 +163,71 @@ def bench_reference():
     return float(np.min(times))
 
 
+def bench_d16_tp(n_iters=3):
+    """Second operating point: d=16, N=1024 training points — the regime
+    TPU (and the production TP dispatch, mesh.py TP_NMAX_MIN=512) was
+    built for and where the reference's CPU stack is hopeless.  Measures
+    a full fit + NORA multi_add sec/iter and asserts the TP path
+    actually routed (SHARD_STATS['tp'])."""
+    from gpry_tpu.acquisition import NORA
+    from gpry_tpu.models.gp import GaussianProcessRegressor
+    from gpry_tpu.models.preprocessing import Normalize_bounds, Normalize_y
+    from gpry_tpu.parallel.mesh import SHARD_STATS
+
+    d, n_train = 16, 1024
+    rng = np.random.default_rng(0)
+    bounds = np.array([[0.0, 1.0]] * d)
+    X = rng.uniform(size=(n_train, d))
+    y = -0.5 * 25 * np.sum((X - 0.5) ** 2, axis=1)
+    gpr = GaussianProcessRegressor(
+        bounds=bounds, preprocessing_X=Normalize_bounds(bounds),
+        preprocessing_y=Normalize_y(), random_state=0, verbose=1)
+    gpr.append_to_data(X, y, fit_gpr=False)
+    acq = NORA(bounds, acq_func={"LogExp": {"dimension": d}},
+               rng=np.random.default_rng(1), verbose=1)
+    t0 = time.perf_counter()
+    gpr.fit_gpr_hyperparameters(n_restarts=10 + 2 * d)
+    acq._iter_since_mc = None
+    acq.multi_add(gpr, n_points=d)
+    cold = time.perf_counter() - t0
+    print(f"# d16 iter0 (cold incl. compiles): {cold:.2f}s",
+          file=sys.stderr)
+    tp_before = SHARD_STATS["tp"]
+    times = []
+    for i in range(n_iters):
+        acq._iter_since_mc = None
+        t0 = time.perf_counter()
+        gpr.fit_gpr_hyperparameters(n_restarts=10 + 2 * d)
+        acq.multi_add(gpr, n_points=d)
+        # the production TP trigger: a small query against the large
+        # training buffer (mesh.py:predict_maybe_sharded routes it
+        # through tp_predict whenever >= 2 devices are up; on a single
+        # chip it falls back and the counter below stays 0 — the
+        # multi-device TP path is exercised by dryrun_multichip)
+        gpr.predict(rng.uniform(size=(8, d)))
+        times.append(time.perf_counter() - t0)
+        print(f"# d16 iter {i}: {times[-1]:.2f}s", file=sys.stderr)
+    return (float(np.min(times)), float(np.median(times)),
+            int(SHARD_STATS["tp"] - tp_before))
+
+
 def main():
     if not wait_for_device_compute():
         print("# WARNING: accelerator never came up within the wait "
               "budget; timings below may reflect a degraded backend.",
               file=sys.stderr)
+    from gpry_tpu.config import comp_cache_status
+    cache_before = comp_cache_status()
     ours, ours_med, ours_cold = bench_ours_resilient(engine="nora")
     # apples-to-apples companion: the reference baseline below runs
     # BatchOptimizer (its NORA needs PolyChord/UltraNest, absent here), so
     # also measure OUR BatchOptimizer for a same-engine ratio.
     ours_bo, ours_bo_med, _ = bench_ours_resilient(engine="batchoptimizer")
+    try:
+        d16_min, d16_med, d16_tp = bench_d16_tp()
+    except Exception as excpt:
+        print(f"# d16 operating point failed: {excpt}", file=sys.stderr)
+        d16_min = d16_med = d16_tp = None
     try:
         ref = bench_reference()
     except Exception:
@@ -186,10 +241,25 @@ def main():
         "unit": "s",
         "vs_baseline": round(ref / ours, 2),
         "value_median": round(ours_med, 4),
+        # iter0 includes whatever compiles the persistent XLA cache could
+        # not serve; comp_cache states why (e.g. the canary soft-disabled
+        # the cache on this host -> iter0 pays all compiles from scratch)
         "value_cold_iter0": round(ours_cold, 4),
+        "comp_cache": cache_before,
         "value_batchoptimizer": round(ours_bo, 4),
         "vs_baseline_same_engine": round(ref / ours_bo, 2),
         "baseline_reference_batchoptimizer_cpu_s": round(ref, 2),
+        # second operating point: the large-N regime TP was built for
+        # (reference CPU has no committed result here; its d=8 baseline
+        # above already takes ~90 s/iter)
+        "value_d16_n1024": None if d16_min is None else round(d16_min, 4),
+        "value_d16_n1024_median":
+            None if d16_med is None else round(d16_med, 4),
+        "d16_tp_dispatches": d16_tp,
+        "d16_tp_note": "TP routes with >=2 devices; on a single chip "
+                       "the counter is 0 and the TP path is validated "
+                       "by dryrun_multichip instead",
+        "n_devices": len(__import__("jax").devices()),
     }))
 
 

@@ -225,6 +225,37 @@ def ensure_comp_cache_verified():
     _COMP_CACHE_VERIFIED = False
     return False
 
+def comp_cache_status():
+    """One-line persistent-cache diagnosis for benchmark output: whether
+    the cache is active, why not if not (canary soft-fail / corruption
+    wipe / opted out), and how many compiled executables it holds — so a
+    cold-iteration time in a bench report self-explains (VERDICT round 3
+    item 7: BENCH's value_cold_iter0 looked unexplained when the canary
+    had soft-disabled the cache in the driver's environment)."""
+    n_entries = None
+    if _COMP_CACHE_DIR and os.path.isdir(_COMP_CACHE_DIR):
+        try:
+            n_entries = sum(
+                1 for f in os.listdir(_COMP_CACHE_DIR)
+                if not f.startswith("canary"))
+        except OSError:
+            pass
+    if os.environ.get("GPRY_TPU_COMP_CACHE", "1") in ("0", "false",
+                                                      "False"):
+        state = "opted-out"
+    elif COMP_CACHE_ACTIVE:
+        state = "active" if _COMP_CACHE_VERIFIED is None \
+            or _COMP_CACHE_VERIFIED else "active-unverified"
+    elif _COMP_CACHE_DIR and os.path.exists(os.path.join(
+            _COMP_CACHE_DIR, f"canary_softfail_{_machine_fingerprint()}")):
+        state = "disabled-canary-softfail"
+    elif _COMP_CACHE_DIR and not os.path.isdir(_COMP_CACHE_DIR):
+        state = "disabled-canary-wiped"
+    else:
+        state = "disabled"
+    return {"state": state, "dir": _COMP_CACHE_DIR, "entries": n_entries}
+
+
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 
 #: dtype used for GP state, Cholesky factorization and LML optimization.
