@@ -54,32 +54,22 @@ def ess(weights):
     return float(1.0 / np.sum(wn ** 2))
 
 
-def is_refine_sample(gpr, sample, bounds, rng=None, n_draw=65536,
-                     eps_uniform=0.05, inflate=1.5, min_gain=2.0,
-                     verbose=1):
-    """
-    Refine ``sample`` ({"X", "weights", ...}) by mixture importance
-    sampling against the surrogate.  Returns a NEW samples dict (with
-    ``"refined": True``) when the refinement's ESS beats the input's by
-    ``min_gain``x, else the input sample unchanged.
-    """
+def _is_round(gpr, X_seed, w_seed, bounds, rng, n_draw, eps_uniform,
+              inflate):
+    """One mixture-IS round: fit a mode-mixture proposal to the weighted
+    seed sample, draw, score the surrogate in one batched device predict,
+    and return ``(X, logp, w, n_modes)`` (or None when the proposal is
+    unusable)."""
     from gpry_tpu.models.gp import surrogate_predict_mean
     from gpry_tpu.utils.modes import detect_modes
-    rng = rng if isinstance(rng, np.random.Generator) \
-        else np.random.default_rng(rng)
-    X_in = np.asarray(sample["X"], dtype=float)
-    w_in = np.asarray(sample["weights"], dtype=float)
-    if len(X_in) < 8:
-        return sample
-    bounds = np.asarray(bounds, dtype=float)
     lo, hi = bounds[:, 0], bounds[:, 1]
     d = bounds.shape[0]
     try:
-        modes = detect_modes(X_in, w_in, n_resample=2048, rng=rng)
+        modes = detect_modes(X_seed, w_seed, n_resample=2048, rng=rng)
     except Exception:
-        return sample
+        return None
     if not modes:
-        return sample
+        return None
     means = [c["mean"] for c in modes]
     covs = [c["cov"] * inflate ** 2 for c in modes]
     wmix = np.array([c["weight"] for c in modes]) * (1.0 - eps_uniform)
@@ -87,7 +77,6 @@ def is_refine_sample(gpr, sample, bounds, rng=None, n_draw=65536,
     log_eps = np.log(eps_uniform)
     # --- draw from the truncated mixture by rejection --------------------
     X = np.empty((0, d))
-    n_uni = 0
     for _ in range(4):  # the mixture sits inside the box: few retries
         need = n_draw - len(X)
         if need <= 0:
@@ -96,7 +85,6 @@ def is_refine_sample(gpr, sample, bounds, rng=None, n_draw=65536,
                           p=np.append(wmix, eps_uniform))
         draws = np.empty((need, d))
         uni = comp == len(modes)
-        n_uni += int(uni.sum())
         draws[uni] = lo + rng.random((int(uni.sum()), d)) * (hi - lo)
         for k in range(len(modes)):
             selk = comp == k
@@ -108,7 +96,7 @@ def is_refine_sample(gpr, sample, bounds, rng=None, n_draw=65536,
         inside = np.all((draws >= lo) & (draws <= hi), axis=1)
         X = np.concatenate([X, draws[inside]], axis=0)
     if len(X) < max(1024, 16 * d):
-        return sample  # mixture leaks out of the box: refuse
+        return None  # mixture leaks out of the box: refuse
     # --- one batched device predict (the hot op) --------------------------
     p = gpr.sweep_params()
     logp = np.asarray(surrogate_predict_mean(
@@ -119,14 +107,58 @@ def is_refine_sample(gpr, sample, bounds, rng=None, n_draw=65536,
     logw = np.where(np.isfinite(logw), logw, -np.inf)
     mx = logw.max()
     if not np.isfinite(mx):
+        return None
+    return X, logp, np.exp(logw - mx), len(modes)
+
+
+def is_refine_sample(gpr, sample, bounds, rng=None, n_draw=65536,
+                     eps_uniform=0.05, inflate=1.5, min_gain=2.0,
+                     n_rounds=3, verbose=1):
+    """
+    Refine ``sample`` ({"X", "weights", ...}) by ITERATIVE mixture
+    importance sampling against the surrogate.  Returns a NEW samples
+    dict (with ``"refined": True``) when the best round's ESS beats the
+    input's by ``min_gain``x, else the input sample unchanged.
+
+    Iteration is the defense against an input sample that MISSED a mode
+    the surrogate knows (observed: a final device-NS run dropped one of
+    Himmelblau's four modes entirely; the surrogate itself was exact to
+    momKL < 1e-5): round 1's proposal has no component there, but its
+    uniform defense component lands draws in the missed mode whose huge
+    p/q weights make it visible in the weighted draws — so round 2's
+    proposal (fit to round 1's OUTPUT) covers it, and its ESS collapses
+    the weight variance.  A single round would correctly refuse (tiny
+    ESS) and return the flawed input unchanged.
+    """
+    rng = rng if isinstance(rng, np.random.Generator) \
+        else np.random.default_rng(rng)
+    X_in = np.asarray(sample["X"], dtype=float)
+    w_in = np.asarray(sample["weights"], dtype=float)
+    if len(X_in) < 8:
         return sample
-    w = np.exp(logw - mx)
-    ess_new, ess_old = ess(w), ess(w_in)
-    if ess_new < min_gain * ess_old:
-        if verbose >= 2:
+    bounds = np.asarray(bounds, dtype=float)
+    ess_old = ess(w_in)
+    X_seed, w_seed = X_in, w_in
+    best = None
+    for rnd in range(n_rounds):
+        res = _is_round(gpr, X_seed, w_seed, bounds, rng, n_draw,
+                        eps_uniform, inflate)
+        if res is None:
+            break
+        X, logp, w, n_modes = res
+        ess_new = ess(w)
+        if best is None or ess_new > best[0]:
+            best = (ess_new, X, logp, w, n_modes)
+        # seed the next round from this round's weighted draws
+        X_seed, w_seed = X, w
+        if ess_new >= 0.2 * len(X):
+            break  # the proposal already explains the posterior: done
+    if best is None or best[0] < min_gain * ess_old:
+        if verbose >= 2 and best is not None:
             print(f"[IS-REFINE] kept input sample: refined ESS "
-                  f"{ess_new:.0f} < {min_gain}x input ESS {ess_old:.0f}")
+                  f"{best[0]:.0f} < {min_gain}x input ESS {ess_old:.0f}")
         return sample
+    ess_new, X, logp, w, n_modes = best
     out = dict(sample)
     out.update({
         "X": X, "logpost": logp, "weights": w,
@@ -135,5 +167,5 @@ def is_refine_sample(gpr, sample, bounds, rng=None, n_draw=65536,
     })
     if verbose >= 2:
         print(f"[IS-REFINE] refined: ESS {ess_old:.0f} -> {ess_new:.0f} "
-              f"({len(modes)} proposal modes, {len(X)} draws)")
+              f"({n_modes} proposal modes, {len(X)} draws)")
     return out

@@ -85,10 +85,18 @@ class Runner:
         self._n_audited = 0
         self._mode_sig_hist = []
         self._mode_sig_now = None
+        self._last_modes = None
         # box-normalized coordinates of audit picks: regions audited once
         # (and found empty) are masked for the rest of the run
         self._X_audit_hist = []
         self._audit_calib = (0.0, 0.0)  # (amp, y_floor) from last screen
+        # dirty-screen vetoes since the last actual finding: the veto may
+        # fire once to force one more acquisition+audit cycle, but a
+        # screen that stays dirty WITHOUT ever yielding a finding is
+        # evidence of false positives (huge-amplitude GPs on heavy-tailed
+        # targets can never "rule out" the far field at kappa sigma), not
+        # of missed mass
+        self._audit_dirty_vetoes = 0
 
         # -- checkpoint resume -------------------------------------------------
         resuming = False
@@ -146,6 +154,8 @@ class Runner:
                 self._flat_explored = bool(
                     runtime.get("flat_explored", False))
                 self._n_audited = int(runtime.get("n_audited", 0))
+                self._audit_dirty_vetoes = int(
+                    runtime.get("audit_dirty_vetoes", 0))
                 self._mode_sig_hist = [
                     (s[0], tuple(s[1]))
                     for s in runtime.get("mode_sig_hist", [])]
@@ -871,17 +881,21 @@ class Runner:
         """Mode signature of the acquisition engine's current MC sample
         (None when the engine has no sample, e.g. BatchOptimizer)."""
         if not hasattr(self.acquisition, "last_MC_sample"):
+            self._last_modes = None
             return None
         try:
             X, _, w = self.acquisition.last_MC_sample()
         except (ValueError, AttributeError):
+            self._last_modes = None
             return None
         from gpry_tpu.utils.modes import detect_modes, mode_signature
         try:
-            return mode_signature(detect_modes(X, w, rng=self.rng))
+            self._last_modes = detect_modes(X, w, rng=self.rng)
+            return mode_signature(self._last_modes)
         except Exception as excpt:
             self.log(f"[MODES] mode detection failed: {excpt}",
                      _VERBOSITY_DEBUG)
+            self._last_modes = None
             return None
 
     def _audit_screen(self, thres):
@@ -933,7 +947,18 @@ class Runner:
         amp, y_floor = self._audit_calib
         if amp > 0:
             w_floor = np.clip((sd / amp) ** 2, 0.0, 1.0)
-            mu_eff = (1.0 - w_floor) * mu + w_floor * min(y_floor, thres)
+            # Reversion target: the worst finite value seen — but capped
+            # a full band BELOW the suspicion threshold when the training
+            # set has never bracketed the band (y_floor >= thres).  An
+            # uninformed region must stay AUDITABLE: reverting it to an
+            # in-band value would classify the entire unexplored far
+            # field as "known mass" and wave the declaration through
+            # (observed on the Spike fixture at n=20: worst seen -12 vs
+            # band edge -13.9, first screen trivially clean, tails never
+            # confirmed).
+            band = self.gpr.y_max - thres
+            target = min(y_floor, thres - band)
+            mu_eff = (1.0 - w_floor) * mu + w_floor * target
         else:
             mu_eff = mu
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -991,6 +1016,246 @@ class Runner:
             + np.arange(n0) * n_local
         return cloud[best], mu_eff[best]
 
+    def _mode_center_calibration(self):
+        """
+        Calibration phase of the convergence audit: the surrogate must be
+        RIGHT at the centers of its own detected modes.
+
+        The below-band screen (_convergence_audit) finds mass the
+        surrogate doesn't know about; it is blind to mass the surrogate
+        knows but models badly.  A GP whose single per-dim lengthscale
+        must span a broad mode and a narrow spike in the same dimension
+        smooths the spike's peak down and confidently under-integrates it
+        (measured on the reference's Spike fixture: mu at the true mode
+        centers -4/-8/-12 vs truth 0, sd < 0.1, every narrow mode's
+        weight ~2x low, momKL 0.15-0.18 at declaration) — CorrectCounter
+        never sees it because the mass-weighted acquisition stops
+        proposing points in a mode it believes settled.
+
+        So: for every detected mode of the acquisition's MC sample whose
+        center is not ANCHORED (no training point within 0.5 of the
+        cluster's own per-dim sigma) and not already audited, spend one
+        truth eval at the center.  |y_true - mu| > band/4 means the
+        surrogate is miscalibrated where it claims to know the posterior:
+        veto, train on the point (which re-levels the mode), and demand a
+        fresh mode-stability streak.  On well-trained targets every
+        center is anchored and the phase costs nothing.
+        """
+        modes = self._last_modes or []
+        if not modes:
+            return True
+        from gpry_tpu.utils.tools import delta_logp_of_1d_nstd
+        band = delta_logp_of_1d_nstd(self.audit_band_nstd, self.d)
+        tol = 0.25 * band
+        lo, hi = self.prior_bounds[:, 0], self.prior_bounds[:, 1]
+        r2_hist = (0.08 ** 2) * self.d
+        X_tr = np.asarray(self.gpr.X_train, float)
+        centers = []
+        for c in modes:
+            ctr = np.asarray(c["mean"], float)
+            sig = np.sqrt(np.maximum(np.diag(np.asarray(c["cov"])), 0.0))
+            if len(X_tr) and np.any(np.all(
+                    np.abs(X_tr - ctr) <= 0.5 * sig, axis=1)):
+                continue  # anchored: data at the mode's own scale
+            if self._X_audit_hist:
+                cn = (ctr - lo) / (hi - lo)
+                hist = np.asarray(self._X_audit_hist)
+                if np.min(np.sum((hist - cn) ** 2, axis=1)) < r2_hist:
+                    continue  # this center's region was already audited
+            centers.append(ctr)
+        if not centers:
+            return True
+        n_budget = min(self.max_audit - self._n_audited, self.n_total_left)
+        if n_budget <= 0:
+            return True
+        X_cal = np.asarray(centers[:int(n_budget)])
+        import jax.numpy as jnp
+        from gpry_tpu.models.gp import surrogate_mean_std_smooth
+        p = self.gpr.sweep_params()
+        mu, _ = surrogate_mean_std_smooth(
+            self.gpr.family, p, jnp.asarray(X_cal, p.X.dtype))
+        mu = np.asarray(mu, float)
+        with Timer() as timer_truth:
+            y_cal = np.asarray(self.executor.logp_batch(X_cal))
+        self.progress.add_truth(timer_truth, n_evals=len(X_cal),
+                                accumulate=True)
+        self._n_audited += len(X_cal)
+        self._X_audit_hist.extend((X_cal - lo) / (hi - lo))
+        err = np.where(np.isfinite(y_cal) & np.isfinite(mu),
+                       np.abs(y_cal - mu), 0.0)
+        bad = err > tol
+        with TimerCounter(self.gpr) as timer_fit:
+            self.gpr.append_to_data(
+                X_cal, y_cal,
+                fit_gpr=({"n_restarts": self._fit_restarts()}
+                         if np.any(bad) else "simple"))
+        self.progress.add_fit(timer_fit, accumulate=True)
+        self._touch_liveness()
+        if np.any(bad):
+            self._mode_sig_hist.clear()
+            self._audit_dirty_vetoes = 0
+            k = int(np.argmax(err))
+            self.log("[AUDIT] convergence vetoed: surrogate miscalibrated "
+                     f"at {int(bad.sum())}/{len(X_cal)} of its own mode "
+                     f"centers (worst: truth {y_cal[k]:.4g} vs predicted "
+                     f"{mu[k]:.4g}, tol {tol:.3g}); audit spend "
+                     f"{self._n_audited}/{self.max_audit}.",
+                     _VERBOSITY_WARN)
+            return False
+        self.log(f"[AUDIT] {len(X_cal)} unanchored mode centers "
+                 "calibration-checked: surrogate agrees with truth "
+                 f"(spend {self._n_audited}/{self.max_audit}).",
+                 _VERBOSITY_INFO)
+        return True
+
+    def _apex_calibration(self):
+        """
+        Calibration of the surrogate's SECONDARY belief apexes.
+
+        A GP whose per-dim lengthscale is set by a broad mode smooths a
+        narrow co-located feature's peak down and confidently
+        under-integrates it (the reference's Spike fixture: apexes
+        predicted 4-8 log-units low with z-scores ~10-50, every narrow
+        mode's weight ~2x low).  Both other guards are structurally blind
+        to it: the smoothed apex is predicted IN-band (the below-band
+        screen skips it as known mass) and the posterior is one
+        *connected* blob (mode detection correctly reports a single
+        cluster, so the signature veto and center calibration never
+        engage).
+
+        So: find the local maxima of the surrogate mean over the audit
+        screen's Sobol net (kNN-16 local-max test — scale-free in any d),
+        keep only SECONDARY apexes (more than band/8 below the net's
+        global max: the global mode's shape is continuously validated by
+        CorrectCounter on acquired points, so unimodal targets never pay
+        an eval here), polish each with two free batched cloud ascents of
+        the mean, and spend one truth eval per unanchored, not-yet-audited
+        apex.  |y_true - mu| > band/4 at a point the surrogate itself
+        calls a posterior peak means its mass accounting there is wrong:
+        veto and train on the point (which restores the apex height and,
+        through the refit, the mode's integral).
+        """
+        from gpry_tpu.utils.tools import delta_logp_of_1d_nstd
+        band = delta_logp_of_1d_nstd(self.audit_band_nstd, self.d)
+        tol = 0.25 * band
+        n_budget = min(self.max_audit - self._n_audited, self.n_total_left)
+        if n_budget <= 0:
+            return True
+        thres = self.gpr.y_max - band
+        Xs, mu, _ = self._audit_screen(thres)
+        lo, hi = self.prior_bounds[:, 0], self.prior_bounds[:, 1]
+        Xn = (Xs - lo) / (hi - lo)
+        from scipy.spatial import cKDTree
+        tree = cKDTree(Xn)
+        k = min(len(Xn), 17)  # self + 16 neighbors
+        _, nbr = tree.query(Xn, k=k)
+        is_max = mu >= mu[nbr].max(axis=1) - 1e-12
+        # Secondary apexes only, by value — and only down to one band
+        # below the band edge: an apex the belief puts in-band or in the
+        # margin shell can move the moments if its height is wrong (the
+        # z-screen skips the shell by design — its margin exists to stop
+        # boundary-chasing — so shell APEXES, few and high-leverage, are
+        # exactly this phase's jurisdiction; measured: spike tail apexes
+        # over-predicted by 20 log-units lived there).  Apexes deeper
+        # than a full band carry negligible mass under any correction
+        # that the z-screen would not itself flag.  Measured: on the
+        # curved-degeneracy fixture an unfiltered phase burned 8 evals
+        # confirming accurate deep-tail wiggles.
+        gap = 0.125 * band
+        cand = np.flatnonzero(is_max & (mu < mu.max() - gap)
+                              & (mu > thres - band) & np.isfinite(mu))
+        if len(cand) == 0:
+            return True
+        cand = cand[np.argsort(-mu[cand])][:4]
+        # polish: two batched cloud ascents of the belief (free)
+        X_apex = Xs[cand]
+        for frac in (0.06, 0.015):
+            X_apex, _ = self._apex_polish(X_apex, frac)
+        # drop apexes anchored by a training point (apex height is then
+        # data-pinned: a point this close either already fixed it or
+        # will via CorrectCounter), already-audited ones, and collapse
+        # near-duplicate apexes (two net maxima of one smoothed feature)
+        r_anchor2 = (0.01 ** 2) * self.d
+        r2_hist = (0.08 ** 2) * self.d
+        Xn_tr = (np.asarray(self.gpr.X_train, float) - lo) / (hi - lo)
+        keep = []
+        for x in X_apex:
+            xn = (x - lo) / (hi - lo)
+            if len(Xn_tr) and np.min(
+                    np.sum((Xn_tr - xn) ** 2, axis=1)) < r_anchor2:
+                continue
+            if self._X_audit_hist and np.min(np.sum(
+                    (np.asarray(self._X_audit_hist) - xn) ** 2,
+                    axis=1)) < r2_hist:
+                continue
+            if keep and np.min(np.sum(
+                    (np.asarray(keep) - xn) ** 2, axis=1)) < r_anchor2:
+                continue
+            keep.append(xn)
+        if not keep:
+            return True
+        X_cal = np.asarray(keep)[:int(n_budget)] * (hi - lo) + lo
+        import jax.numpy as jnp
+        from gpry_tpu.models.gp import surrogate_mean_std_smooth
+        p = self.gpr.sweep_params()
+        mu_cal, _ = surrogate_mean_std_smooth(
+            self.gpr.family, p, jnp.asarray(X_cal, p.X.dtype))
+        mu_cal = np.asarray(mu_cal, float)
+        with Timer() as timer_truth:
+            y_cal = np.asarray(self.executor.logp_batch(X_cal))
+        self.progress.add_truth(timer_truth, n_evals=len(X_cal),
+                                accumulate=True)
+        self._n_audited += len(X_cal)
+        self._X_audit_hist.extend((X_cal - lo) / (hi - lo))
+        err = np.where(np.isfinite(y_cal) & np.isfinite(mu_cal),
+                       np.abs(y_cal - mu_cal), 0.0)
+        bad = err > tol
+        with TimerCounter(self.gpr) as timer_fit:
+            self.gpr.append_to_data(
+                X_cal, y_cal,
+                fit_gpr=({"n_restarts": self._fit_restarts()}
+                         if np.any(bad) else "simple"))
+        self.progress.add_fit(timer_fit, accumulate=True)
+        self._touch_liveness()
+        if np.any(bad):
+            self._mode_sig_hist.clear()
+            self._audit_dirty_vetoes = 0
+            j = int(np.argmax(err))
+            self.log("[AUDIT] convergence vetoed: surrogate miscalibrated "
+                     f"at {int(bad.sum())}/{len(X_cal)} of its own belief "
+                     f"apexes (worst: truth {y_cal[j]:.4g} vs predicted "
+                     f"{mu_cal[j]:.4g}, tol {tol:.3g}); audit spend "
+                     f"{self._n_audited}/{self.max_audit}.",
+                     _VERBOSITY_WARN)
+            return False
+        self.log(f"[AUDIT] {len(X_cal)} secondary belief apexes "
+                 "calibration-checked: surrogate agrees with truth "
+                 f"(spend {self._n_audited}/{self.max_audit}).",
+                 _VERBOSITY_INFO)
+        return True
+
+    def _apex_polish(self, X0, sigma_frac, n_local=256):
+        """One batched cloud ascent of the surrogate mean around each
+        point of ``X0`` (free: surrogate predicts only)."""
+        import jax.numpy as jnp
+        from gpry_tpu.models.gp import surrogate_mean_std_smooth
+        lo, hi = self.prior_bounds[:, 0], self.prior_bounds[:, 1]
+        span = hi - lo
+        n0 = len(X0)
+        cloud = np.repeat(X0, n_local, axis=0)
+        cloud = cloud + self.rng.normal(
+            scale=sigma_frac, size=cloud.shape) * span
+        cloud = np.clip(cloud, lo, hi)
+        cloud[::n_local] = X0
+        p = self.gpr.sweep_params()
+        mu, _ = surrogate_mean_std_smooth(
+            self.gpr.family, p, jnp.asarray(cloud, p.X.dtype))
+        mu = np.asarray(mu, float)
+        mu = np.where(np.isfinite(mu), mu, -np.inf)
+        best = mu.reshape(n0, n_local).argmax(axis=1) \
+            + np.arange(n0) * n_local
+        return cloud[best], mu[best]
+
     def _convergence_audit(self):
         """
         Audit a declared convergence against UNDISCOVERED posterior mass.
@@ -1033,6 +1298,10 @@ class Runner:
         # same corner picked 7x), narrow enough that a near-miss outside
         # a mode's in-band catchment does not shadow the mode core
         r2_hist = (0.08 ** 2) * self.d
+        if not self._mode_center_calibration():
+            return False
+        if not self._apex_calibration():
+            return False
         for audit_round in range(self.audit_rounds):
             thres = self.gpr.y_max - band
             n_budget = min(self.max_audit - self._n_audited,
@@ -1129,6 +1398,7 @@ class Runner:
                 # the mode census just changed: demand a fresh stability
                 # streak before convergence can be declared again
                 self._mode_sig_hist.clear()
+                self._audit_dirty_vetoes = 0
                 self.log("[AUDIT] convergence vetoed: found REAL top-band "
                          f"mass at {int(found.sum())}/{len(X_audit)} "
                          f"audited points (best logp "
@@ -1150,6 +1420,13 @@ class Runner:
         # modes still screening suspicious and 10/16 budget unspent).
         if self._n_audited < self.max_audit \
                 and self.n_total_left > 0:
+            # NOTE: no early acceptance on a finding-less dirty streak —
+            # tried and reverted: Himmelblau's missed modes only yield
+            # their finding after several persistent screen rounds
+            # (tiny in-band catchments vs net spacing), and the throttle
+            # let 2/3 seeds accept with modes missing (momKL 404/645).
+            # Persistence until max_audit is the contract.
+            self._audit_dirty_vetoes += 1
             self.log(f"[AUDIT] convergence vetoed: screen still dirty "
                      f"after {self.audit_rounds} rounds (spend "
                      f"{self._n_audited}/{self.max_audit}); auditing "
@@ -1441,6 +1718,7 @@ class Runner:
                 "explore_seed": self._explore_seed,
                 "flat_explored": bool(self._flat_explored),
                 "n_audited": int(self._n_audited),
+                "audit_dirty_vetoes": int(self._audit_dirty_vetoes),
                 "mode_sig_hist": [[s[0], list(s[1])]
                                   for s in self._mode_sig_hist],
                 "audit_hist": [list(map(float, x))
