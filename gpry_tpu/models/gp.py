@@ -800,7 +800,19 @@ class GaussianProcessRegressor:
         """
         if simple:
             start_from_current = True
-            n_restarts = 1
+            # Warm start + ONE extra lane seeded by the batched LML
+            # screen below.  A pure warm-start continuation (the
+            # reference's simple fit, n_restarts=1) cannot jump basins
+            # between the scheduled full fits: measured at d=12, the
+            # LML's global basin moves to the polynomial regime
+            # (length-scales at the bound, huge amplitude) around
+            # n~100 while the warm-started theta tracks the stale
+            # short-lengthscale basin until the next full fit, costing
+            # 4-12 extra acquisition batches (312 vs 162 evals on one
+            # seed).  The screen is one batched device sweep — cheap
+            # here, prohibitive for the reference's sequential scipy
+            # restarts, which is why it must schedule full fits sparsely.
+            n_restarts = 2
         if not self._fitted:
             start_from_current = False
         if n_restarts is None:
@@ -860,7 +872,7 @@ class GaussianProcessRegressor:
             self._dL = self._dalpha = None
 
         on_cpu = all(dev.platform == "cpu" for dev in self._dX.devices())
-        if n_polish > i0 + 1:
+        if n_polish > i0 + 1 or (simple and n_polish > i0):
             # batched f64 sweeps are cheap on CPU too, but scale the screen
             # down there (the grid/benchmarks run the loop on CPU hosts)
             n_screen = max(8 * n_restarts, 256 if on_cpu else 2048)
