@@ -216,8 +216,11 @@ def main():
         print("# WARNING: accelerator never came up within the wait "
               "budget; timings below may reflect a degraded backend.",
               file=sys.stderr)
-    from gpry_tpu.config import comp_cache_status
-    cache_before = comp_cache_status()
+    try:
+        from gpry_tpu.config import comp_cache_status
+        cache_before = comp_cache_status()
+    except Exception as excpt:  # the status is diagnostic, never fatal
+        cache_before = {"state": f"status-failed: {excpt}"}
     ours, ours_med, ours_cold = bench_ours_resilient(engine="nora")
     # apples-to-apples companion: the reference baseline below runs
     # BatchOptimizer (its NORA needs PolyChord/UltraNest, absent here), so
