@@ -22,14 +22,22 @@ import numpy as np
 
 def _weighted_resample(X, weights, n, rng):
     """Draw ``n`` indices proportional to ``weights`` (with replacement),
-    then deduplicate — duplicates carry no geometry information."""
+    then deduplicate for geometry — but KEEP the multiplicities:
+    duplicates carry no geometry information, yet they carry all the
+    MASS information.  Cluster weights must come from the counts, not
+    the unique-point fractions — a mode represented by a few very-heavy
+    points (e.g. recovered by an IS defense component) is 30% of the
+    posterior but <1% of the unique points, and count-blind weighting
+    dropped it below ``min_weight`` (measured: the missed-mode recovery
+    test).  Returns ``(X_unique, counts)``."""
     w = np.asarray(weights, dtype=float)
     w = np.where(np.isfinite(w) & (w > 0), w, 0.0)
     s = w.sum()
     if s <= 0:
-        return np.empty((0, X.shape[1]))
+        return np.empty((0, X.shape[1])), np.empty((0,))
     idx = rng.choice(len(X), size=min(n, 4 * len(X)), p=w / s)
-    return X[np.unique(idx)]
+    uniq, counts = np.unique(idx, return_counts=True)
+    return X[uniq], counts.astype(float)
 
 
 def detect_modes(X, weights=None, n_resample=1024, link_factor=4.0,
@@ -58,7 +66,7 @@ def detect_modes(X, weights=None, n_resample=1024, link_factor=4.0,
         weights = np.ones(len(X))
     rng = rng if isinstance(rng, np.random.Generator) \
         else np.random.default_rng(rng)
-    Xs = _weighted_resample(X, weights, n_resample, rng)
+    Xs, cnt = _weighted_resample(X, weights, n_resample, rng)
     m, d = Xs.shape
     if m == 0:
         return []
@@ -112,11 +120,14 @@ def detect_modes(X, weights=None, n_resample=1024, link_factor=4.0,
                         shape=(m, m))
     _, labels = connected_components(pruned, directed=False)
     out = []
+    cnt_tot = float(cnt.sum())
     for lab in np.unique(labels):
         sel = labels == lab
-        w = float(sel.sum()) / m
+        w = float(cnt[sel].sum()) / cnt_tot
         if w >= min_weight:
             members = Xs[sel]
+            wm = cnt[sel]
+            mean = (wm[:, None] * members).sum(axis=0) / wm.sum()
             if len(members) >= d + 2:
                 cov = np.cov(members.T, ddof=1).reshape(d, d)
             else:
@@ -125,7 +136,7 @@ def detect_modes(X, weights=None, n_resample=1024, link_factor=4.0,
             # cluster must still yield a usable proposal covariance)
             span = X.max(axis=0) - X.min(axis=0)
             cov += np.diag(np.maximum(1e-12, (1e-3 * span) ** 2))
-            out.append({"weight": w, "mean": members.mean(axis=0),
+            out.append({"weight": w, "mean": mean,
                         "cov": cov, "n": int(sel.sum())})
     # renormalize over kept clusters so signatures compare cleanly
     tot = sum(c["weight"] for c in out) or 1.0

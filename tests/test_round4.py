@@ -146,6 +146,28 @@ def test_is_refine_never_degrades():
     assert out is sample  # too few input points: untouched
 
 
+def test_is_refine_recovers_missed_mode():
+    """An input sample that entirely MISSED a mode the surrogate knows
+    (observed on Himmelblau: a final device-NS run dropped one of four
+    modes; momKL 0.63) must be repaired by the iterative refinement:
+    round 1's uniform defense component exposes the missed mode, round
+    2's proposal covers it."""
+    from gpry_tpu.mc.refine import is_refine_sample
+
+    gpr, bounds = _train_bimodal_gp()
+    # fake sample: ONLY the 70% mode at (3, 3) — the 30% mode is absent
+    r = np.random.default_rng(5)
+    X_bad = r.normal(3, 0.5, size=(500, 2))
+    bad = {"X": X_bad, "weights": np.ones(500)}
+    out = is_refine_sample(gpr, bad, bounds,
+                           rng=np.random.default_rng(6), n_draw=16384)
+    assert out.get("refined"), "refinement must engage"
+    w = out["weights"] / out["weights"].sum()
+    frac_left = float(w[out["X"][:, 0] < 0].sum())
+    assert abs(frac_left - 0.3) < 0.1, \
+        f"missed mode not recovered (left-mass {frac_left:.3f})"
+
+
 def test_mc_dispatch_applies_refinement():
     from gpry_tpu.mc.samples import mc_sample_from_gp
 
