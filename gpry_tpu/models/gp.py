@@ -257,6 +257,11 @@ class GaussianProcessRegressor:
     gpry/gpr.py:265-271.
     """
 
+    # class-level fallbacks so checkpoints pickled before these attributes
+    # existed resume with the documented defaults
+    demand_fit_min_n = 160
+    n_fits_skipped = 0
+
     def __init__(self, kernel="RBF", output_scale_prior=(1e-2, 1e3),
                  length_scale_prior=(1e-3, 1e1), noise_level=1e-2,
                  clip_factor=1.1, optimizer="lbfgs", n_restarts_optimizer=0,
@@ -264,7 +269,7 @@ class GaussianProcessRegressor:
                  account_for_inf="SVM", inf_threshold="20s",
                  keep_min_finite=None, trust_region_factor=None,
                  trust_region_nstd=None, bounds=None, random_state=None,
-                 verbose=1):
+                 demand_fit_min_n=160, verbose=1):
         if bounds is None:
             raise ValueError("'bounds' are required (auto-built kernels and "
                              "the infinities threshold depend on them).")
@@ -296,6 +301,17 @@ class GaussianProcessRegressor:
         self._rng = np.random.default_rng(random_state)
         self.n_eval = 0
         self.n_eval_loglike = 0
+        # Demand-driven fit frequency: once n >= demand_fit_min_n, a
+        # "simple" fit skips the L-BFGS polish ladder whenever the batched
+        # LML screen finds no candidate better than the incumbent theta
+        # (i.e. the LML's global basin has not moved).  The per-iteration
+        # fit cost then collapses from O(maxiter * lanes * n^3) to one
+        # batched screen sweep; scheduled full fits still repolish
+        # within-basin drift.  The reference handles the same large-n cost
+        # by scheduling full fits sparsely (gpry/run.py:536-537) with no
+        # basin-jump safety net.  None disables the skip.
+        self.demand_fit_min_n = demand_fit_min_n
+        self.n_fits_skipped = 0
 
         # --- infinities classifier -------------------------------------------
         self.inf_threshold = inf_threshold
@@ -872,12 +888,24 @@ class GaussianProcessRegressor:
             self._dL = self._dalpha = None
 
         on_cpu = all(dev.platform == "cpu" for dev in self._dX.devices())
+        # Demand-driven fit frequency at large n: price the incumbent theta
+        # in the same batched sweep; if no screened candidate beats it, the
+        # LML's global basin has not moved and the O(maxiter * lanes * n^3)
+        # polish ladder is skipped (factorize-only iteration).  Scheduled
+        # full fits still repolish within-basin drift.  Below the n gate
+        # the code path (and the _rng stream) is unchanged.
+        demand_skip = (simple and start_from_current and self._fitted
+                       and self.demand_fit_min_n is not None
+                       and n >= self.demand_fit_min_n)
         if n_polish > i0 + 1 or (simple and n_polish > i0):
             # batched f64 sweeps are cheap on CPU too, but scale the screen
             # down there (the grid/benchmarks run the loop on CPU hosts)
             n_screen = max(8 * n_restarts, 256 if on_cpu else 2048)
             cand = self._rng.uniform(lo, hi, size=(n_screen, len(lo)))
             cand = np.vstack([theta0s[i0:], cand])
+            if demand_skip:
+                # incumbent priced as the LAST row of the same sweep
+                cand = np.vstack([cand, theta0s[:1]])
             sdt = jnp.float32 if (not on_cpu and dt == jnp.float64) else dt
             lml_c = np.asarray(_lml_batch_chunked(
                 self.family, self._dX.astype(sdt), self._dy.astype(sdt),
@@ -885,9 +913,34 @@ class GaussianProcessRegressor:
                 rel_jitter=1e-5 if sdt == jnp.float32 else 0.0,
                 on_chunk=self._liveness))
             lml_c = np.where(np.isfinite(lml_c), lml_c, -np.inf)
+            self.n_eval_loglike += len(cand)
+            if demand_skip:
+                lml_cur = float(lml_c[-1])
+                lml_c, cand = lml_c[:-1], cand[:-1]
+                if np.isfinite(lml_cur) and float(np.max(lml_c)) <= lml_cur:
+                    L_, alpha_ = factorize(
+                        self.family, jnp.asarray(theta0s[0], dt), self._dX,
+                        self._dy, n, self._noise_var_)
+                    if not bool(jnp.any(jnp.isnan(L_))):
+                        self._theta = np.asarray(theta0s[0])
+                        self._dL, self._dalpha = L_, alpha_
+                        if sdt == dt:
+                            self.log_marginal_likelihood_value_ = lml_cur
+                        else:
+                            exact = np.asarray(_lml_batch_chunked(
+                                self.family, self._dX, self._dy, n,
+                                self._noise_var_,
+                                jnp.asarray(theta0s[:1], dt)))
+                            self.log_marginal_likelihood_value_ = \
+                                float(exact[0])
+                            self.n_eval_loglike += 1
+                        self.n_fits_skipped += 1
+                        self._fitted = True
+                        return self
+                    # non-PD at the incumbent in fit dtype: fall through to
+                    # the polish ladder, which handles escalation
             order = np.argsort(lml_c)[::-1]
             theta0s[i0:] = cand[order[:n_polish - i0]]
-            self.n_eval_loglike += len(cand)
         n_restarts = n_polish
 
         # On TPU the theta search runs in float32: the float64-emulated
