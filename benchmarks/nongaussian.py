@@ -120,6 +120,11 @@ def run_repo_nora(model, seed, verbose=1):
         "n_finite": int(runner.gpr.n),
         "svm_active": bool(runner.gpr.n < runner.gpr.n_total),
         "wall_s": time.time() - t0,
+        # fit-phase wall + demand-driven skip count (VERDICT r4 item 3:
+        # the large-n fit cost is the loggaussian bottleneck)
+        "fit_wall_s": float(np.nansum(
+            runner.progress.data["time_fit"].to_numpy(dtype=float))),
+        "n_fits_skipped": int(getattr(runner.gpr, "n_fits_skipped", 0)),
         "mc_X": r["X"], "mc_w": r["weights"],
     }
 

@@ -110,6 +110,11 @@ class GenericGPAcquisition:
                   force_resample=False):
         raise NotImplementedError
 
+    def force_resample(self):
+        """Invalidate any cached surrogate-MC state so the next
+        acquisition call recomputes it from scratch.  No-op for engines
+        that keep no such cache (e.g. BatchOptimizer); NORA overrides."""
+
     def log(self, msg, level=3):
         if self.verbose >= level:
             print(msg)

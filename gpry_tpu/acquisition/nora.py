@@ -82,6 +82,13 @@ class NORA(GenericGPAcquisition):
         self.cov = None
         self.last_logZ = None
 
+    def force_resample(self):
+        """Discard the cached NS sample: the next acquisition call runs a
+        fresh nested-sampling sweep instead of reweighting the last one.
+        Public hook for benchmarks/drivers that need per-iteration NS cost
+        (the reuse heuristic would otherwise amortize it away)."""
+        self._iter_since_mc = None
+
     # -- NS effort schedule (reference: gpry/gp_acquisition.py:684-699) ------
 
     def _nlive(self, gpr):

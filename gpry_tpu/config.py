@@ -244,8 +244,10 @@ def comp_cache_status():
                                                       "False"):
         state = "opted-out"
     elif COMP_CACHE_ACTIVE:
-        state = "active" if _COMP_CACHE_VERIFIED is None \
-            or _COMP_CACHE_VERIFIED else "active-unverified"
+        # a failed canary sets COMP_CACHE_ACTIVE=False, so the only
+        # states reachable here are verified (True) and not-yet-verified
+        # (None — no compute has exercised the cache this process)
+        state = "active" if _COMP_CACHE_VERIFIED else "active-unverified"
     elif _COMP_CACHE_DIR and os.path.exists(os.path.join(
             _COMP_CACHE_DIR, f"canary_softfail_{_machine_fingerprint()}")):
         state = "disabled-canary-softfail"

@@ -140,12 +140,14 @@ def is_refine_sample(gpr, sample, bounds, rng=None, n_draw=65536,
     ess_old = ess(w_in)
     X_seed, w_seed = X_in, w_in
     best = None
+    total_draws = 0  # surrogate calls across ALL rounds, kept or not
     for rnd in range(n_rounds):
         res = _is_round(gpr, X_seed, w_seed, bounds, rng, n_draw,
                         eps_uniform, inflate)
         if res is None:
             break
         X, logp, w, n_modes = res
+        total_draws += len(X)
         ess_new = ess(w)
         if best is None or ess_new > best[0]:
             best = (ess_new, X, logp, w, n_modes)
@@ -157,13 +159,20 @@ def is_refine_sample(gpr, sample, bounds, rng=None, n_draw=65536,
         if verbose >= 2 and best is not None:
             print(f"[IS-REFINE] kept input sample: refined ESS "
                   f"{best[0]:.0f} < {min_gain}x input ESS {ess_old:.0f}")
+        if total_draws:
+            # surrogate calls were spent even though the input is kept:
+            # keep n_calls consistent with gpr.n_eval (incremented per
+            # round in _is_round)
+            out = dict(sample)
+            out["n_calls"] = int(sample.get("n_calls", 0)) + total_draws
+            return out
         return sample
     ess_new, X, logp, w, n_modes = best
     out = dict(sample)
     out.update({
         "X": X, "logpost": logp, "weights": w,
         "refined": True, "ess": ess_new, "ess_input": ess_old,
-        "n_calls": int(sample.get("n_calls", 0)) + len(X),
+        "n_calls": int(sample.get("n_calls", 0)) + total_draws,
     })
     if verbose >= 2:
         print(f"[IS-REFINE] refined: ESS {ess_old:.0f} -> {ess_new:.0f} "

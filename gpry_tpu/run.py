@@ -97,6 +97,12 @@ class Runner:
         # targets can never "rule out" the far field at kappa sigma), not
         # of missed mass
         self._audit_dirty_vetoes = 0
+        # consecutive mode-signature vetoes since the last stable
+        # signature or real finding: the veto is capped (max_mode_vetoes)
+        # so a borderline cluster oscillating across detect_modes'
+        # min_weight threshold cannot veto convergence forever and
+        # silently convert a convergent run into budget exhaustion
+        self._mode_veto_streak = 0
 
         # -- checkpoint resume -------------------------------------------------
         resuming = False
@@ -156,6 +162,8 @@ class Runner:
                 self._n_audited = int(runtime.get("n_audited", 0))
                 self._audit_dirty_vetoes = int(
                     runtime.get("audit_dirty_vetoes", 0))
+                self._mode_veto_streak = int(
+                    runtime.get("mode_veto_streak", 0))
                 self._mode_sig_hist = [
                     (s[0], tuple(s[1]))
                     for s in runtime.get("mode_sig_hist", [])]
@@ -323,6 +331,16 @@ class Runner:
             "audit_band_nstd": float(options.get("audit_band_nstd", 4.0)),
             "mode_weight_tol": float(options.get("mode_weight_tol", 0.10)),
             "mode_stable_checks": int(options.get("mode_stable_checks", 3)),
+            # cap on CONSECUTIVE signature vetoes (see the veto in
+            # _run_main_loop): bounded like max_audit, so an oscillating
+            # borderline cluster cannot veto forever
+            "max_mode_vetoes": int(options.get("max_mode_vetoes", 6)),
+            # amplitude-underfit veto: minimum fitted output scale as a
+            # fraction of the finite training-y span (see
+            # _surrogate_is_amp_underfit); measured separation on the
+            # spike fixture: underfit seeds 0.004-0.005, healthy 0.33
+            "amp_underfit_frac": float(
+                options.get("amp_underfit_frac", 0.05)),
         }
         if "max_total" in options:
             out["max_total"] = getn("max_total", None)
@@ -364,6 +382,9 @@ class Runner:
         self.audit_band_nstd = float(options.get("audit_band_nstd", 4.0))
         self.mode_weight_tol = float(options.get("mode_weight_tol", 0.10))
         self.mode_stable_checks = int(options.get("mode_stable_checks", 3))
+        self.max_mode_vetoes = int(options.get("max_mode_vetoes", 6))
+        self.amp_underfit_frac = float(
+            options.get("amp_underfit_frac", 0.05))
         if self.n_initial <= 0:
             raise ValueError("n_initial must be > 0.")
         if self.max_initial < self.n_initial:
@@ -728,6 +749,51 @@ class Runner:
                     self.progress.add_fit(timer_fit, accumulate=True)
                     self._touch_liveness()
 
+            # Amplitude-underfit veto (beyond the reference): a GP whose
+            # fitted output scale is a tiny fraction of its own training-y
+            # span is GLOBALLY overconfident -- its posterior sd is near
+            # zero everywhere, so both CorrectCounter and the kappa-sigma
+            # convergence audit are structurally blind (the audit can
+            # "rule out" the whole box at kappa sigma with sd ~ 0.2 on
+            # data spanning 20 log units; observed on the spike fixture at
+            # n=19: output scale 0.096 vs span 21.5).  Veto and spend the
+            # Sobol exploration budget; once data forces a sane amplitude
+            # the veto goes quiet (healthy fits sit at ratio ~ 0.3).
+            if self.has_converged and self._surrogate_is_amp_underfit():
+                exp_X = self._starved_exploration_batch(
+                    max(n_points, self.n_initial))
+                self.has_converged = False
+                amp = self._fitted_amp_span_ratio()
+                if exp_X is not None and len(exp_X):
+                    self.log("[EXPLORATION] convergence vetoed: fitted "
+                             f"output scale is {amp:.3g} of the training-y "
+                             f"span (< amp_underfit_frac="
+                             f"{self.amp_underfit_frac}) -- the surrogate "
+                             "is globally overconfident; exploring "
+                             f"{len(exp_X)} Sobol points "
+                             f"({self._n_explored}/"
+                             f"{self.max_starved_explore} budget spent)",
+                             _VERBOSITY_WARN)
+                    with Timer() as timer_truth:
+                        exp_y = self.executor.logp_batch(exp_X)
+                    self.progress.add_truth(timer_truth, n_evals=len(exp_X),
+                                            accumulate=True)
+                    with TimerCounter(self.gpr) as timer_fit:
+                        self._fit_gpr(exp_X, exp_y)
+                    self.progress.add_fit(timer_fit, accumulate=True)
+                    self._touch_liveness()
+                else:
+                    # No exploration budget left but the surrogate still
+                    # cannot represent its own data's dynamic range:
+                    # refuse the declaration (honest non-convergence,
+                    # bounded by max_total) rather than report a
+                    # converged=true row from a blind GP.
+                    self.log("[EXPLORATION] convergence vetoed: fitted "
+                             f"output scale is {amp:.3g} of the training-y "
+                             "span and the exploration budget is spent; "
+                             "refusing to declare from a globally "
+                             "overconfident surrogate.", _VERBOSITY_WARN)
+
             # Mode-signature stability veto (beyond the reference): on a
             # MULTIMODAL surrogate, convergence requires the mode count
             # and weights of the acquisition's MC sample to agree across
@@ -748,12 +814,27 @@ class Runner:
                 stable = len(hist) >= self.mode_stable_checks and all(
                     modes_match(a, b, self.mode_weight_tol)
                     for a, b in zip(hist, hist[1:]))
-                if not stable:
+                if stable:
+                    self._mode_veto_streak = 0
+                elif self._mode_veto_streak >= self.max_mode_vetoes:
+                    # Bounded veto (like max_audit): a borderline cluster
+                    # oscillating across detect_modes' min_weight threshold
+                    # flips the census between checks and would otherwise
+                    # veto forever, converting a convergent run into
+                    # silent budget exhaustion.
+                    self.log("[MODES] signature still unstable after "
+                             f"{self._mode_veto_streak} consecutive "
+                             "vetoes (max_mode_vetoes cap): accepting "
+                             "the declaration.", _VERBOSITY_WARN)
+                else:
+                    self._mode_veto_streak += 1
                     self.has_converged = False
                     self.log("[MODES] convergence vetoed: multimodal "
                              f"signature {self._mode_sig_now} not stable "
                              f"over the last {self.mode_stable_checks} "
-                             f"checks (history: {hist[:-1]}).",
+                             f"checks (history: {hist[:-1]}; veto "
+                             f"{self._mode_veto_streak}/"
+                             f"{self.max_mode_vetoes}).",
                              _VERBOSITY_WARN)
 
             # Convergence audit (beyond the reference): before accepting,
@@ -816,6 +897,33 @@ class Runner:
         y = self.gpr.y_train
         return len(y) > 0 and \
             float(np.max(y) - np.min(y)) < self.flat_span
+
+    def _fitted_amp_span_ratio(self):
+        """Fitted GP output scale (raw y units) over the span of the
+        finite training values; ``nan`` when undefined (extended kernels
+        without a plain amplitude, or degenerate spans)."""
+        y = self.gpr.y_train
+        if len(y) < 2:
+            return np.nan
+        span = float(np.max(y) - np.min(y))
+        if not np.isfinite(span) or span <= 0:
+            return np.nan
+        try:
+            amp = float(self.gpr.scales[0])
+        except (ValueError, AttributeError):
+            return np.nan
+        return amp / span
+
+    def _surrogate_is_amp_underfit(self):
+        """True when the fitted output scale is below
+        ``amp_underfit_frac`` of the finite training-y span: the GP's
+        prior sd (its *maximum* posterior sd anywhere) cannot account for
+        the variation in its own data, so every uncertainty-based guard
+        (CorrectCounter tolerance, audit kappa-sigma screen) is blind.
+        Scale-free, so inert on genuinely flat posteriors (a good fit to
+        small-span data keeps the ratio O(1))."""
+        ratio = self._fitted_amp_span_ratio()
+        return np.isfinite(ratio) and ratio < self.amp_underfit_frac
 
     def _starved_exploration_batch(self, n_points):
         """Last-resort space-filling exploration after exhausted
@@ -1094,6 +1202,7 @@ class Runner:
         if np.any(bad):
             self._mode_sig_hist.clear()
             self._audit_dirty_vetoes = 0
+            self._mode_veto_streak = 0
             k = int(np.argmax(err))
             self.log("[AUDIT] convergence vetoed: surrogate miscalibrated "
                      f"at {int(bad.sum())}/{len(X_cal)} of its own mode "
@@ -1220,6 +1329,7 @@ class Runner:
         if np.any(bad):
             self._mode_sig_hist.clear()
             self._audit_dirty_vetoes = 0
+            self._mode_veto_streak = 0
             j = int(np.argmax(err))
             self.log("[AUDIT] convergence vetoed: surrogate miscalibrated "
                      f"at {int(bad.sum())}/{len(X_cal)} of its own belief "
@@ -1399,6 +1509,7 @@ class Runner:
                 # streak before convergence can be declared again
                 self._mode_sig_hist.clear()
                 self._audit_dirty_vetoes = 0
+                self._mode_veto_streak = 0
                 self.log("[AUDIT] convergence vetoed: found REAL top-band "
                          f"mass at {int(found.sum())}/{len(X_audit)} "
                          f"audited points (best logp "
@@ -1719,6 +1830,7 @@ class Runner:
                 "flat_explored": bool(self._flat_explored),
                 "n_audited": int(self._n_audited),
                 "audit_dirty_vetoes": int(self._audit_dirty_vetoes),
+                "mode_veto_streak": int(self._mode_veto_streak),
                 "mode_sig_hist": [[s[0], list(s[1])]
                                   for s in self._mode_sig_hist],
                 "audit_hist": [list(map(float, x))

@@ -13,7 +13,11 @@ beyond-reference guards.
 import numpy as np
 import pytest
 
-rng = np.random.default_rng(42)
+def _rng(seed=42):
+    # Per-test generator: a module-level shared rng would make each
+    # test's draws depend on which tests ran before it (flaky under
+    # -k selection or pytest-xdist).
+    return np.random.default_rng(seed)
 
 
 # ---------------------------------------------------------------------------
@@ -23,6 +27,7 @@ rng = np.random.default_rng(42)
 
 def test_detect_modes_two_gaussians():
     from gpry_tpu.utils.modes import detect_modes, mode_signature
+    rng = _rng()
     n = 4000
     X = np.concatenate([
         rng.normal([0, 0], 0.3, size=(int(0.7 * n), 2)),
@@ -47,6 +52,7 @@ def test_detect_modes_weighted_resample():
     """Uniform-drawn points with posterior weights must cluster by the
     WEIGHTED distribution, not the uniform support."""
     from gpry_tpu.utils.modes import detect_modes
+    rng = _rng(43)
     n = 8000
     X = rng.uniform(-8, 8, size=(n, 2))
     logp = np.logaddexp(
@@ -61,6 +67,7 @@ def test_detect_modes_weighted_resample():
 def test_detect_modes_connected_shapes_stay_single():
     """A ring (connected, non-Gaussian) must NOT fragment."""
     from gpry_tpu.utils.modes import detect_modes
+    rng = _rng(44)
     theta = rng.uniform(0, 2 * np.pi, 4000)
     r = 3 + rng.normal(0, 0.15, 4000)
     X = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
@@ -72,6 +79,7 @@ def test_detect_modes_two_scale_mixture():
     """A dense narrow mode must not absorb or shatter a sparse wide one
     (the local-bridge criterion vs a global median cut)."""
     from gpry_tpu.utils.modes import detect_modes
+    rng = _rng(45)
     X = np.concatenate([
         rng.normal([0, 0], 0.1, size=(3200, 2)),   # dense, narrow
         rng.normal([7, 0], 1.0, size=(800, 2)),     # sparse, wide
