@@ -214,6 +214,28 @@ class CorrectCounter(ConvergenceCriterion):
         self.criterion_value(gp, new_X=new_X, new_y=new_y, pred_y=pred_y)
         return self.n_pred > self.ncorrect
 
+    def score_offbatch(self, gp, new_y=None, pred_y=None):
+        """Score non-acquisition truth evals (convergence-audit and
+        calibration spend) as streak evidence, under the SAME tolerance
+        rule as acquisition evals — without recording a per-check
+        criterion value (the values series is keyed to convergence
+        checks).  An audited point the surrogate predicted right is
+        evidence exactly like an acquired one; a miss resets the streak
+        just as honestly.  Closes the flat_base_spike starvation: runs
+        that spend most of their budget on audit/exploration evals can
+        still earn the declaration from the evals they DID spend."""
+        new_y = np.atleast_1d(new_y) if new_y is not None else np.array([])
+        pred_y = np.atleast_1d(pred_y) if pred_y is not None \
+            else np.array([])
+        for yn, yl in zip(new_y, pred_y):
+            if yn == -np.inf or not np.isfinite(yl):
+                continue
+            thres = abs(yn - gp.y_max) * self.reltol + self.abstol
+            if abs(yl - yn) < thres:
+                self.n_pred += 1
+            else:
+                self.n_pred = 0
+
 
 class GaussianKL(ConvergenceCriterion):
     """

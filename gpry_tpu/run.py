@@ -722,6 +722,15 @@ class Runner:
             # exploration budget hunting for missed structure; a genuinely
             # flat likelihood just spends the (bounded) budget and then
             # converges to the uniform posterior it deserves.
+            #
+            # The budget is spent to EXHAUSTION even after structure is
+            # found: handing the hunt off to the convergence audit early
+            # was tried (round 5) and reverted — on flat_base_spike seed
+            # 100 the audit's kappa-sigma screen cannot resolve a
+            # 1%-of-the-box spike the Sobol net had only scented (shoulder
+            # hit, top unmapped), and the run declared at 40 evals with
+            # momKL 2.5.  The net IS the detector here; its budget is the
+            # price of safety on structureless-until-found targets.
             if self.has_converged and (self._surrogate_is_flat()
                                        or self._flat_explored):
                 if self._surrogate_is_flat():
@@ -897,6 +906,23 @@ class Runner:
         y = self.gpr.y_train
         return len(y) > 0 and \
             float(np.max(y) - np.min(y)) < self.flat_span
+
+    def _feed_offbatch_convergence(self, new_y, pred_y):
+        """Feed audit/calibration truth evals to criteria that keep a
+        correctness streak (CorrectCounter family): points the surrogate
+        predicted right count toward the declaration, misses reset it —
+        the same terms acquisition evals get (VERDICT r4 item 8: the
+        flat_base_spike budget is mostly audit/exploration spend, and
+        discarding its evidence starved the stopping rule)."""
+        for cc in self.convergence_criterion:
+            fn = getattr(cc, "score_offbatch", None)
+            if fn is None:
+                continue
+            try:
+                fn(self.gpr, new_y=new_y, pred_y=pred_y)
+            except Exception as excpt:
+                self.log(f"off-batch convergence scoring failed: {excpt}",
+                         _VERBOSITY_WARN)
 
     def _fitted_amp_span_ratio(self):
         """Fitted GP output scale (raw y units) over the span of the
@@ -1189,6 +1215,7 @@ class Runner:
                                 accumulate=True)
         self._n_audited += len(X_cal)
         self._X_audit_hist.extend((X_cal - lo) / (hi - lo))
+        self._feed_offbatch_convergence(y_cal, mu)
         err = np.where(np.isfinite(y_cal) & np.isfinite(mu),
                        np.abs(y_cal - mu), 0.0)
         bad = err > tol
@@ -1316,6 +1343,7 @@ class Runner:
                                 accumulate=True)
         self._n_audited += len(X_cal)
         self._X_audit_hist.extend((X_cal - lo) / (hi - lo))
+        self._feed_offbatch_convergence(y_cal, mu_cal)
         err = np.where(np.isfinite(y_cal) & np.isfinite(mu_cal),
                        np.abs(y_cal - mu_cal), 0.0)
         bad = err > tol
@@ -1488,6 +1516,7 @@ class Runner:
                                     accumulate=True)
             self._n_audited += len(X_audit)
             y_audit = np.asarray(y_audit)
+            self._feed_offbatch_convergence(y_audit, mu_audit)
             found = y_audit > thres
             # mask the audited POINTS unconditionally (with the tight
             # r2_hist radius): a truth value below the infinities

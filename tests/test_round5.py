@@ -189,6 +189,41 @@ def test_amp_underfit_end_to_end_no_blind_convergence(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# off-batch (audit) evals feed the CorrectCounter streak (VERDICT r4 item 8)
+# ---------------------------------------------------------------------------
+
+
+def test_correctcounter_scores_offbatch_evals():
+    """Audit/calibration truth evals count toward (and against) the
+    CorrectCounter streak under the same tolerance rule as acquisition
+    evals — so runs whose budget is mostly audit spend can still earn
+    the declaration from the evals they DID spend."""
+    from gpry_tpu.convergence import CorrectCounter
+
+    class _GP:
+        y_max = 0.0
+        n_total = 10
+        n = 10
+
+    cc = CorrectCounter(np.array([[-1.0, 1.0]]), {"abstol": 0.1,
+                                                  "reltol": 0.01})
+    gp = _GP()
+    # three correct off-batch evals extend the streak
+    y = np.array([-5.0, -6.0, -7.0])
+    cc.score_offbatch(gp, new_y=y, pred_y=y + 0.01)
+    assert cc.n_pred == 3
+    # a miss resets it, honestly
+    cc.score_offbatch(gp, new_y=np.array([-5.0]), pred_y=np.array([-1.0]))
+    assert cc.n_pred == 0
+    # -inf truths and non-finite predictions are skipped, not scored
+    cc.score_offbatch(gp, new_y=np.array([-np.inf, -3.0]),
+                      pred_y=np.array([-np.inf, np.nan]))
+    assert cc.n_pred == 0
+    # off-batch scoring records NO criterion value (series is per-check)
+    assert cc.values == []
+
+
+# ---------------------------------------------------------------------------
 # small-mode edges of the mode machinery (VERDICT r4 weak #5)
 # ---------------------------------------------------------------------------
 
