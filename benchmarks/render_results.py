@@ -257,6 +257,29 @@ def table_parity_d12():
     return table_parity(data["rows"] if data else [])
 
 
+def table_d12_zeta():
+    data = _load("results_d12_zeta.json")
+    if not data:
+        return ["(results_d12_zeta.json missing)"]
+    lines = ["| seed | zeta multiplier | converged | evals to stop | "
+             "final KL |",
+             "|------|-----------------|-----------|---------------|"
+             "----------|"]
+    for r in data["rows"]:
+        if "error" in r:
+            lines.append(f"| {r['seed']} | {r['zeta_mult']} | "
+                         f"ERROR | - | {r['error']} |")
+            continue
+        kl = _fmt(r.get("kl_final"))
+        if (r.get("kl_final") or 0) > KL_GATE:
+            kl += "†"
+        lines.append(
+            f"| {r['seed']} | {r['zeta_mult']:g} | "
+            f"{'yes' if r.get('converged') else 'no'} | "
+            f"{r.get('n_total', '-')} | {kl} |")
+    return lines
+
+
 TABLES = {
     "parity": table_parity,
     "parity_d12": table_parity_d12,
@@ -266,6 +289,7 @@ TABLES = {
     "d16": table_d16,
     "d20": table_d20,
     "grid": table_grid,
+    "d12_zeta": table_d12_zeta,
 }
 
 _MARKER = re.compile(
