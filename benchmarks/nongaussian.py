@@ -125,6 +125,8 @@ def run_repo_nora(model, seed, verbose=1):
         "fit_wall_s": float(np.nansum(
             runner.progress.data["time_fit"].to_numpy(dtype=float))),
         "n_fits_skipped": int(getattr(runner.gpr, "n_fits_skipped", 0)),
+        "n_fits_downgraded": int(getattr(runner.gpr,
+                                         "n_fits_downgraded", 0)),
         "mc_X": r["X"], "mc_w": r["weights"],
     }
 

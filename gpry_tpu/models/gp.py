@@ -261,6 +261,7 @@ class GaussianProcessRegressor:
     # existed resume with the documented defaults
     demand_fit_min_n = 160
     n_fits_skipped = 0
+    n_fits_downgraded = 0
 
     def __init__(self, kernel="RBF", output_scale_prior=(1e-2, 1e3),
                  length_scale_prior=(1e-3, 1e1), noise_level=1e-2,
@@ -301,17 +302,22 @@ class GaussianProcessRegressor:
         self._rng = np.random.default_rng(random_state)
         self.n_eval = 0
         self.n_eval_loglike = 0
-        # Demand-driven fit frequency: once n >= demand_fit_min_n, a
-        # "simple" fit skips the L-BFGS polish ladder whenever the batched
-        # LML screen finds no candidate better than the incumbent theta
-        # (i.e. the LML's global basin has not moved).  The per-iteration
-        # fit cost then collapses from O(maxiter * lanes * n^3) to one
-        # batched screen sweep; scheduled full fits still repolish
-        # within-basin drift.  The reference handles the same large-n cost
-        # by scheduling full fits sparsely (gpry/run.py:536-537) with no
-        # basin-jump safety net.  None disables the skip.
+        # Demand-driven fit frequency: once n >= demand_fit_min_n, the
+        # incumbent theta is priced as one extra row of the batched LML
+        # screen every fit.  If no screened candidate beats it, the LML's
+        # global basin has not moved and the O(maxiter * lanes * n^3)
+        # L-BFGS polish ladder is demand-managed: a "simple" fit skips the
+        # polish entirely (factorize-only iteration), and a scheduled FULL
+        # fit downgrades from the LBFGS_CHUNK-lane ladder to a 2-lane
+        # within-basin repolish (incumbent + best screened candidate) —
+        # the drift polish the full-fit schedule exists for, at a fraction
+        # of its cost.  A basin jump found by the screen always runs the
+        # full ladder.  The reference handles the same large-n cost by
+        # scheduling full fits sparsely (gpry/run.py:536-537) with no
+        # basin-jump safety net.  None disables both reductions.
         self.demand_fit_min_n = demand_fit_min_n
         self.n_fits_skipped = 0
+        self.n_fits_downgraded = 0
 
         # --- infinities classifier -------------------------------------------
         self.inf_threshold = inf_threshold
@@ -894,16 +900,17 @@ class GaussianProcessRegressor:
         # polish ladder is skipped (factorize-only iteration).  Scheduled
         # full fits still repolish within-basin drift.  Below the n gate
         # the code path (and the _rng stream) is unchanged.
-        demand_skip = (simple and start_from_current and self._fitted
-                       and self.demand_fit_min_n is not None
-                       and n >= self.demand_fit_min_n)
+        demand_price = (start_from_current and self._fitted
+                        and self.demand_fit_min_n is not None
+                        and n >= self.demand_fit_min_n)
+        demand_skip = simple and demand_price
         if n_polish > i0 + 1 or (simple and n_polish > i0):
             # batched f64 sweeps are cheap on CPU too, but scale the screen
             # down there (the grid/benchmarks run the loop on CPU hosts)
             n_screen = max(8 * n_restarts, 256 if on_cpu else 2048)
             cand = self._rng.uniform(lo, hi, size=(n_screen, len(lo)))
             cand = np.vstack([theta0s[i0:], cand])
-            if demand_skip:
+            if demand_price:
                 # incumbent priced as the LAST row of the same sweep
                 cand = np.vstack([cand, theta0s[:1]])
             sdt = jnp.float32 if (not on_cpu and dt == jnp.float64) else dt
@@ -914,10 +921,22 @@ class GaussianProcessRegressor:
                 on_chunk=self._liveness))
             lml_c = np.where(np.isfinite(lml_c), lml_c, -np.inf)
             self.n_eval_loglike += len(cand)
-            if demand_skip:
+            if demand_price:
                 lml_cur = float(lml_c[-1])
                 lml_c, cand = lml_c[:-1], cand[:-1]
-                if np.isfinite(lml_cur) and float(np.max(lml_c)) <= lml_cur:
+                basin_unmoved = (np.isfinite(lml_cur)
+                                 and float(np.max(lml_c)) <= lml_cur)
+                if basin_unmoved and not demand_skip and n_polish > 2:
+                    # Scheduled full fit with an unmoved LML basin:
+                    # downgrade the LBFGS_CHUNK-lane ladder to a 2-lane
+                    # within-basin repolish (incumbent + best screened
+                    # candidate).  The drift polish the schedule exists
+                    # for survives; the O(lanes) basin search it no longer
+                    # needs does not.
+                    theta0s = theta0s[:2]
+                    n_polish = 2
+                    self.n_fits_downgraded += 1
+                if demand_skip and basin_unmoved:
                     L_, alpha_ = factorize(
                         self.family, jnp.asarray(theta0s[0], dt), self._dX,
                         self._dy, n, self._noise_var_)

@@ -97,6 +97,72 @@ def test_demand_fit_skip_polishes_when_basin_moves():
         "basin moved but the simple fit skipped the polish"
 
 
+def test_demand_fit_full_downgrades_on_stable_basin():
+    """Above the n gate, a scheduled FULL fit with an unmoved LML basin
+    downgrades the multi-lane ladder to a 2-lane within-basin repolish —
+    and the repolished theta still maximizes the LML (the incumbent is in
+    the exact winner-selection set, so the downgrade is monotone)."""
+    rng = _rng(13)
+    d = 2
+    bounds = np.array([[-1.0, 1.0]] * d)
+    X = rng.uniform(-1, 1, (46, d))
+    y = -np.sum(X ** 2, axis=1) * 8
+    gp = _make_gp(d, bounds, 1, demand_fit_min_n=30, n_restarts_optimizer=6)
+    gp.append_to_data(X[:30], y[:30], fit_gpr=True)
+    assert gp.n_fits_downgraded == 0
+    lml_before = gp.log_marginal_likelihood_value_
+    for k in range(30, 42, 4):
+        gp.append_to_data(X[k:k + 4], y[k:k + 4],
+                          fit_gpr={"n_restarts": 6})
+    assert gp.n_fits_downgraded >= 2
+    assert np.isfinite(gp.log_marginal_likelihood_value_)
+    assert gp.log_marginal_likelihood_value_ >= lml_before - 5.0
+    mu = np.asarray(gp.predict(X[42:46])).ravel()
+    assert np.allclose(mu, y[42:46], atol=0.05)
+
+
+def test_demand_fit_full_ladder_runs_when_basin_moves():
+    """A FULL fit whose screen finds a better basin must run the full
+    ladder (no downgrade counted) and move theta."""
+    rng = _rng(17)
+    d = 2
+    bounds = np.array([[-1.0, 1.0]] * d)
+    X = rng.uniform(-1, 1, (30, d))
+    y = -np.sum(X ** 2, axis=1)
+    gp = _make_gp(d, bounds, 2, demand_fit_min_n=20, n_restarts_optimizer=6)
+    gp.append_to_data(X, y, fit_gpr=True)
+    theta_before = np.array(gp._theta)
+    downgrades_before = gp.n_fits_downgraded
+    # sharp high-amplitude structure: the old theta is far off
+    Xs = rng.uniform(-0.2, 0.2, (6, d))
+    ys = -np.sum((Xs / 0.05) ** 2, axis=1)
+    gp.append_to_data(Xs, ys, fit_gpr={"n_restarts": 6})
+    assert gp.n_fits_downgraded == downgrades_before
+    assert not np.array_equal(theta_before, np.array(gp._theta)), \
+        "basin moved but the full fit did not repolish"
+
+
+def test_demand_fit_full_inert_below_threshold():
+    """Below demand_fit_min_n, FULL fits are bit-identical with the
+    feature disabled (same theta, same LML, same rng stream)."""
+    rng = _rng(19)
+    d = 2
+    bounds = np.array([[-2.0, 2.0]] * d)
+    X = rng.uniform(-2, 2, (40, d))
+    y = -np.sum(X ** 2, axis=1) * 4
+    gps = [_make_gp(d, bounds, 5, demand_fit_min_n=dmn,
+                    n_restarts_optimizer=6) for dmn in (160, None)]
+    for gp in gps:
+        gp.append_to_data(X[:24], y[:24], fit_gpr=True)
+        for k in range(24, 40, 4):
+            gp.append_to_data(X[k:k + 4], y[k:k + 4],
+                              fit_gpr={"n_restarts": 6})
+    assert gps[0].n_fits_downgraded == 0 and gps[1].n_fits_downgraded == 0
+    assert np.array_equal(gps[0]._theta, gps[1]._theta)
+    assert gps[0].log_marginal_likelihood_value_ == \
+        gps[1].log_marginal_likelihood_value_
+
+
 # ---------------------------------------------------------------------------
 # amplitude-underfit veto
 # ---------------------------------------------------------------------------
